@@ -1,0 +1,402 @@
+"""U-Net building blocks as Flax modules (channels-last, TPU-first).
+
+Capability parity with the reference block DSL
+(pytorch3dunet/unet3d/buildingblocks.py): the `layer_order` string drives the
+composition of each conv unit — 'c' Conv, 'g' GroupNorm, 'b' BatchNorm,
+'r' ReLU, 'l' LeakyReLU, 'e' ELU, 'd' Dropout, 'D' channel-Dropout — with the
+same channel-scheduling rules (DoubleConv encoder halving, ResNet residual
+projection, decoder concat-vs-sum joining).
+
+Design differences from the reference (deliberate, TPU-first):
+- tensors are channels-last (N, [D,] H, W, C) so XLA tiles convs onto the MXU
+  without layout transposes;
+- GroupNorm statistics are always computed in float32 even when the compute
+  dtype is bfloat16;
+- modules are pure functions of params — no in-place ops, no `.train()` flags;
+  dropout takes an explicit rng via flax.
+"""
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pytorch3dunet_tpu.models.se import ChannelSELayer3D, ChannelSpatialSELayer3D, SpatialSELayer3D
+from pytorch3dunet_tpu.ops.interp import resize_spatial
+
+# matches torch's default kaiming_uniform(a=sqrt(5)) conv init: U(+-sqrt(1/fan_in))
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _to_tuple(v, rank: int) -> tuple[int, ...]:
+    if isinstance(v, Sequence):
+        t = tuple(int(x) for x in v)
+        assert len(t) == rank, f"Expected length-{rank} tuple, got {t}"
+        return t
+    return (int(v),) * rank
+
+
+def _apply_activation(char: str, x):
+    if char == "r":
+        return nn.relu(x)
+    if char == "l":
+        return nn.leaky_relu(x, negative_slope=0.01)
+    if char == "e":
+        return nn.elu(x)
+    raise ValueError(f"Unknown activation char: {char}")
+
+
+def group_norm(x, num_channels: int, num_groups: int, name: str):
+    """GroupNorm with torch semantics (eps=1e-5) and fp32 statistics."""
+    if num_channels < num_groups:
+        num_groups = 1
+    assert num_channels % num_groups == 0, (
+        f"Expected number of channels in input to be divisible by num_groups. "
+        f"num_channels={num_channels}, num_groups={num_groups}"
+    )
+    orig_dtype = x.dtype
+    out = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32, name=name)(x.astype(jnp.float32))
+    return out.astype(orig_dtype)
+
+
+class SingleConv(nn.Module):
+    """One conv unit assembled from the `order` DSL string.
+
+    Reference behavior: buildingblocks.py:10-135 — conv bias only when no
+    norm layer is present; a norm before the conv normalizes `in_channels`,
+    after the conv it normalizes `out_channels`.
+    """
+
+    out_channels: int
+    kernel_size: int | tuple = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int | tuple = 1
+    dropout_prob: float = 0.1
+    spatial_rank: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert "c" in self.order, "Conv layer MUST be present"
+        assert self.order[0] not in "rle", "Non-linearity cannot be the first operation in the layer"
+        in_channels = x.shape[-1]
+        kernel = _to_tuple(self.kernel_size, self.spatial_rank)
+        pad = _to_tuple(self.padding, self.spatial_rank)
+        use_bias = not ("g" in self.order or "b" in self.order)
+        conv_index = self.order.index("c")
+
+        for i, char in enumerate(self.order):
+            if char in "rle":
+                x = _apply_activation(char, x)
+            elif char == "c":
+                x = nn.Conv(
+                    self.out_channels,
+                    kernel_size=kernel,
+                    padding=[(p, p) for p in pad],
+                    use_bias=use_bias,
+                    dtype=self.dtype,
+                    kernel_init=conv_kernel_init,
+                    name="conv",
+                )(x)
+            elif char == "g":
+                num_channels = in_channels if i < conv_index else self.out_channels
+                x = group_norm(x, num_channels, self.num_groups, name="groupnorm")
+            elif char == "b":
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=jnp.float32,
+                    name="batchnorm",
+                )(x.astype(jnp.float32)).astype(x.dtype)
+            elif char == "d":
+                x = nn.Dropout(rate=self.dropout_prob, deterministic=not train, name=f"dropout{i}")(x)
+            elif char == "D":
+                # channel dropout: drop whole feature maps (torch Dropout2d/3d analog)
+                x = nn.Dropout(
+                    rate=self.dropout_prob,
+                    deterministic=not train,
+                    broadcast_dims=tuple(range(1, 1 + self.spatial_rank)),
+                    name=f"dropout2d{i}",
+                )(x)
+            else:
+                raise ValueError(
+                    f"Unsupported layer type '{char}'. MUST be one of ['b', 'g', 'r', 'l', 'e', 'c', 'd', 'D']"
+                )
+        return x
+
+
+class DoubleConv(nn.Module):
+    """Two consecutive conv units with the reference channel schedule.
+
+    Encoder path: conv1 goes to out_channels//2 (unless upscale==1), floored
+    at in_channels; decoder path: conv1 in->out, conv2 out->out
+    (buildingblocks.py:163-227).
+    """
+
+    out_channels: int
+    encoder: bool
+    kernel_size: int | tuple = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int | tuple = 1
+    upscale: int = 2
+    dropout_prob: float | tuple = 0.1
+    spatial_rank: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channels = x.shape[-1]
+        if self.encoder:
+            conv1_out = self.out_channels if self.upscale == 1 else self.out_channels // 2
+            conv1_out = max(conv1_out, in_channels)
+        else:
+            conv1_out = self.out_channels
+
+        if isinstance(self.dropout_prob, (list, tuple)):
+            dropout1, dropout2 = self.dropout_prob
+        else:
+            dropout1 = dropout2 = self.dropout_prob
+
+        common = dict(
+            kernel_size=self.kernel_size,
+            order=self.order,
+            num_groups=self.num_groups,
+            padding=self.padding,
+            spatial_rank=self.spatial_rank,
+            dtype=self.dtype,
+        )
+        x = SingleConv(conv1_out, dropout_prob=dropout1, name="SingleConv1", **common)(x, train=train)
+        x = SingleConv(self.out_channels, dropout_prob=dropout2, name="SingleConv2", **common)(x, train=train)
+        return x
+
+
+class ResNetBlock(nn.Module):
+    """Residual block: 1x1 projection + two conv units + residual add + act.
+
+    Follows the reference scheme (buildingblocks.py:230-288, motivated by
+    arXiv:1706.00120): the third conv drops its non-linearity, which is applied
+    after the residual sum instead. LeakyReLU slope is 0.1 here, as in the
+    reference's standalone non-linearity.
+    """
+
+    out_channels: int
+    kernel_size: int | tuple = 3
+    order: str = "cge"
+    num_groups: int = 8
+    spatial_rank: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channels = x.shape[-1]
+        if in_channels != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels,
+                kernel_size=(1,) * self.spatial_rank,
+                dtype=self.dtype,
+                kernel_init=conv_kernel_init,
+                name="conv1",
+            )(x)
+        else:
+            residual = x
+
+        n_order = self.order
+        for c in "rel":
+            n_order = n_order.replace(c, "")
+
+        common = dict(
+            kernel_size=self.kernel_size,
+            num_groups=self.num_groups,
+            padding=(_to_tuple(self.kernel_size, self.spatial_rank)[0] - 1) // 2,
+            spatial_rank=self.spatial_rank,
+            dtype=self.dtype,
+        )
+        out = SingleConv(self.out_channels, order=self.order, name="conv2", **common)(residual, train=train)
+        out = SingleConv(self.out_channels, order=n_order, name="conv3", **common)(out, train=train)
+        out = out + residual
+        if "l" in self.order:
+            out = nn.leaky_relu(out, negative_slope=0.1)
+        elif "e" in self.order:
+            out = nn.elu(out)
+        else:
+            out = nn.relu(out)
+        return out
+
+
+class ResNetBlockSE(nn.Module):
+    """ResNetBlock followed by a squeeze-and-excitation module (buildingblocks.py:291-307)."""
+
+    out_channels: int
+    kernel_size: int | tuple = 3
+    order: str = "cge"
+    num_groups: int = 8
+    se_module: str = "scse"
+    spatial_rank: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.se_module in ["scse", "cse", "sse"]
+        out = ResNetBlock(
+            self.out_channels,
+            kernel_size=self.kernel_size,
+            order=self.order,
+            num_groups=self.num_groups,
+            spatial_rank=self.spatial_rank,
+            dtype=self.dtype,
+            name="block",
+        )(x, train=train)
+        if self.se_module == "scse":
+            out = ChannelSpatialSELayer3D(self.out_channels, reduction_ratio=1, dtype=self.dtype, name="se_module")(out)
+        elif self.se_module == "cse":
+            out = ChannelSELayer3D(self.out_channels, reduction_ratio=1, dtype=self.dtype, name="se_module")(out)
+        else:
+            out = SpatialSELayer3D(self.out_channels, dtype=self.dtype, name="se_module")(out)
+        return out
+
+
+_BASIC_MODULES = {
+    "DoubleConv": DoubleConv,
+    "ResNetBlock": ResNetBlock,
+    "ResNetBlockSE": ResNetBlockSE,
+}
+
+
+def _make_basic_module(basic_module: str, out_channels: int, encoder: bool, *, kernel_size, order, num_groups,
+                       padding, upscale, dropout_prob, spatial_rank, dtype, name: str):
+    if basic_module == "DoubleConv":
+        return DoubleConv(
+            out_channels,
+            encoder=encoder,
+            kernel_size=kernel_size,
+            order=order,
+            num_groups=num_groups,
+            padding=padding,
+            upscale=upscale,
+            dropout_prob=dropout_prob,
+            spatial_rank=spatial_rank,
+            dtype=dtype,
+            name=name,
+        )
+    cls = _BASIC_MODULES[basic_module]
+    return cls(
+        out_channels,
+        kernel_size=kernel_size,
+        order=order,
+        num_groups=num_groups,
+        spatial_rank=spatial_rank,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Encoder(nn.Module):
+    """Optional pooling followed by a basic module (buildingblocks.py:310-384)."""
+
+    out_channels: int
+    basic_module: str = "DoubleConv"
+    conv_kernel_size: int | tuple = 3
+    apply_pooling: bool = True
+    pool_kernel_size: int | tuple = 2
+    pool_type: str = "max"
+    conv_layer_order: str = "gcr"
+    num_groups: int = 8
+    padding: int | tuple = 1
+    upscale: int = 2
+    dropout_prob: float | tuple = 0.1
+    spatial_rank: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.pool_type in ["max", "avg"]
+        if self.apply_pooling:
+            window = _to_tuple(self.pool_kernel_size, self.spatial_rank)
+            if self.pool_type == "max":
+                x = nn.max_pool(x, window_shape=window, strides=window, padding="VALID")
+            else:
+                x = nn.avg_pool(x, window_shape=window, strides=window, padding="VALID")
+        x = _make_basic_module(
+            self.basic_module,
+            self.out_channels,
+            encoder=True,
+            kernel_size=self.conv_kernel_size,
+            order=self.conv_layer_order,
+            num_groups=self.num_groups,
+            padding=self.padding,
+            upscale=self.upscale,
+            dropout_prob=self.dropout_prob,
+            spatial_rank=self.spatial_rank,
+            dtype=self.dtype,
+            name="basic_module",
+        )(x, train=train)
+        return x
+
+
+class Decoder(nn.Module):
+    """Upsample + join + basic module (buildingblocks.py:387-493).
+
+    `upsample_mode` is already resolved by the model factory: one of
+    'nearest'/'linear'/'bilinear'/'trilinear'/'area' (interpolation),
+    'deconv' (transposed conv), or None (no upsampling). `concat` selects
+    concat-joining (DoubleConv path) vs summation-joining (ResNet path).
+    """
+
+    out_channels: int
+    basic_module: str = "DoubleConv"
+    conv_kernel_size: int | tuple = 3
+    scale_factor: int | tuple = 2
+    conv_layer_order: str = "gcr"
+    num_groups: int = 8
+    padding: int | tuple = 1
+    upsample_mode: str | None = "nearest"
+    concat: bool = True
+    dropout_prob: float | tuple = 0.1
+    spatial_rank: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, encoder_features, x, train: bool = False):
+        target_spatial = encoder_features.shape[1:-1]
+        if self.upsample_mode == "deconv":
+            # transposed conv with stride=scale_factor then nearest fix-up to the
+            # exact encoder size (mirrors TransposeConvUpsampling semantics)
+            strides = _to_tuple(self.scale_factor, self.spatial_rank)
+            kernel = _to_tuple(self.conv_kernel_size, self.spatial_rank)
+            x = nn.ConvTranspose(
+                self.out_channels,
+                kernel_size=kernel,
+                strides=strides,
+                padding=[(1, 1)] * self.spatial_rank,
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=conv_kernel_init,
+                name="upsampling",
+            )(x)
+            x = resize_spatial(x, target_spatial, mode="nearest")
+        elif self.upsample_mode is not None:
+            x = resize_spatial(x, target_spatial, mode=self.upsample_mode)
+
+        if self.concat:
+            x = jnp.concatenate([encoder_features, x], axis=-1)
+        else:
+            x = encoder_features + x
+
+        x = _make_basic_module(
+            self.basic_module,
+            self.out_channels,
+            encoder=False,
+            kernel_size=self.conv_kernel_size,
+            order=self.conv_layer_order,
+            num_groups=self.num_groups,
+            padding=self.padding,
+            upscale=2,
+            dropout_prob=self.dropout_prob,
+            spatial_rank=self.spatial_rank,
+            dtype=self.dtype,
+            name="basic_module",
+        )(x, train=train)
+        return x

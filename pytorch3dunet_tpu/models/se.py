@@ -1,0 +1,58 @@
+"""Squeeze-and-Excitation blocks for channels-last 3D tensors.
+
+Same capabilities as the reference (pytorch3dunet/unet3d/se.py): channel SE
+(Hu et al., arXiv:1709.01507), spatial SE and concurrent scSE (Roy et al.,
+arXiv:1803.02579), re-designed for NDHWC layout: the squeeze reductions and
+excitation matmuls map directly onto TPU reductions/MXU without transposes.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ChannelSELayer3D(nn.Module):
+    """Channel squeeze & excitation: global-average squeeze + 2-layer MLP gate."""
+
+    num_channels: int
+    reduction_ratio: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, D, H, W, C); squeeze over spatial dims
+        squeezed = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (N, C)
+        reduced = self.num_channels // self.reduction_ratio
+        h = nn.Dense(reduced, dtype=self.dtype, name="fc1")(squeezed)
+        h = nn.relu(h)
+        h = nn.Dense(self.num_channels, dtype=self.dtype, name="fc2")(h)
+        gate = nn.sigmoid(h)
+        gate = gate.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (self.num_channels,))
+        return x * gate
+
+
+class SpatialSELayer3D(nn.Module):
+    """Spatial squeeze & excitation: 1x1x1 conv to a single-channel spatial gate."""
+
+    num_channels: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        spatial_rank = x.ndim - 2
+        gate = nn.Conv(1, kernel_size=(1,) * spatial_rank, dtype=self.dtype, name="conv")(x)
+        gate = nn.sigmoid(gate)
+        return x * gate
+
+
+class ChannelSpatialSELayer3D(nn.Module):
+    """Concurrent channel + spatial SE combined with an element-wise max."""
+
+    num_channels: int
+    reduction_ratio: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        cse = ChannelSELayer3D(self.num_channels, self.reduction_ratio, dtype=self.dtype, name="cSE")(x)
+        sse = SpatialSELayer3D(self.num_channels, dtype=self.dtype, name="sSE")(x)
+        return jnp.maximum(cse, sse)

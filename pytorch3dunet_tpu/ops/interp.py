@@ -1,0 +1,37 @@
+"""Spatial resize ops for channels-last tensors.
+
+Replaces torch F.interpolate usage in the reference decoder
+(pytorch3dunet/unet3d/buildingblocks.py:598-664) with jax.image.resize, which
+uses half-pixel sample positions — the same convention as torch's
+align_corners=False default.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_MODE_TO_METHOD = {
+    "nearest": "nearest",
+    "linear": "linear",
+    "bilinear": "linear",
+    "trilinear": "linear",
+    "area": "linear",
+}
+
+
+def resize_spatial(x: jax.Array, target_spatial: tuple[int, ...], mode: str = "nearest") -> jax.Array:
+    """Resizes the spatial dims of an (N, *spatial, C) tensor to `target_spatial`."""
+    if tuple(x.shape[1:-1]) == tuple(target_spatial):
+        return x
+    method = _MODE_TO_METHOD[mode]
+    out_shape = (x.shape[0], *target_spatial, x.shape[-1])
+    antialias = mode == "area"
+    # resize in the compute dtype; nearest is a pure gather so dtype is preserved
+    return jax.image.resize(x, out_shape, method=method, antialias=antialias).astype(x.dtype)
+
+
+def nearest_upsample_int(x: jax.Array, factors: tuple[int, ...]) -> jax.Array:
+    """Fast nearest-neighbor upsampling by integer factors via repeat (no gather)."""
+    for axis, f in enumerate(factors, start=1):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=axis)
+    return x
