@@ -1,0 +1,314 @@
+"""Loss registry: Dice family, (weighted) BCE/CE, regression losses.
+
+Numerics parity with the reference (pytorch3dunet/unet3d/losses.py): the same
+formulas — V-Net squared-denominator Dice (losses.py:11-37), GDL fg/bg split
+(:148-184), WCE detached inverse-frequency class weights (:204-227),
+threshold-gated WeightedSmoothL1 (:230-250) — re-expressed as pure jnp
+functions over channels-last tensors so they fuse into the jitted train step.
+
+Layout contract: `input` logits are channels-last (N, [D,] H, W, C). Targets
+are either the same channels-last shape (Dice/BCE/regression family) or
+integer class maps (N, [D,] H, W) for the cross-entropy family — matching the
+reference's expand_dims=True/False transformer convention.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from pytorch3dunet_tpu.utils import get_logger
+
+logger = get_logger("Loss")
+
+
+def flatten(tensor: jax.Array) -> jax.Array:
+    """(N, ..., C) -> (C, N * spatial): channel axis first, everything else flat.
+
+    Channels-last analog of the reference `flatten` (losses.py:253-271).
+    """
+    return jnp.moveaxis(tensor, -1, 0).reshape(tensor.shape[-1], -1)
+
+
+def compute_per_channel_dice(input, target, epsilon=1e-6, weight=None):
+    """Per-channel Dice with the V-Net squared denominator (losses.py:11-37).
+
+    Assumes `input` holds normalized probabilities.
+    """
+    assert input.shape == target.shape, "'input' and 'target' must have the same shape"
+    input = flatten(input)
+    target = flatten(target).astype(jnp.float32)
+
+    intersect = (input * target).sum(-1)
+    if weight is not None:
+        intersect = weight * intersect
+
+    denominator = (input * input).sum(-1) + (target * target).sum(-1)
+    return 2 * (intersect / jnp.clip(denominator, min=epsilon))
+
+
+def _stable_bce_with_logits(logits, target, pos_weight=None):
+    """Numerically stable binary cross-entropy on logits (torch BCEWithLogitsLoss parity)."""
+    log_sig = jax.nn.log_sigmoid(logits)
+    log_sig_neg = jax.nn.log_sigmoid(-logits)
+    if pos_weight is not None:
+        return -(pos_weight * target * log_sig + (1.0 - target) * log_sig_neg)
+    return -(target * log_sig + (1.0 - target) * log_sig_neg)
+
+
+class MaskingLossWrapper:
+    """Zeros out input/target where target == ignore_index (losses.py:40-63)."""
+
+    def __init__(self, loss, ignore_index):
+        assert ignore_index is not None, "ignore_index cannot be None"
+        self.loss = loss
+        self.ignore_index = ignore_index
+
+    def __call__(self, input, target):
+        mask = (target != self.ignore_index).astype(input.dtype)
+        return self.loss(input * mask, target * mask)
+
+
+class SkipLastTargetChannelWrapper:
+    """Drops the last target channel before the loss (losses.py:66-88)."""
+
+    def __init__(self, loss, squeeze_channel=False):
+        self.loss = loss
+        self.squeeze_channel = squeeze_channel
+
+    def __call__(self, input, target):
+        assert target.shape[-1] > 1, "Target tensor has a singleton channel dimension, cannot remove channel"
+        target = target[..., :-1]
+        if self.squeeze_channel:
+            target = jnp.squeeze(target, axis=-1)
+        return self.loss(input, target)
+
+
+class _AbstractDiceLoss:
+    """Base for Dice losses: normalization of logits + 1 - mean(dice) (losses.py:91-127)."""
+
+    def __init__(self, weight=None, normalization="sigmoid"):
+        self.weight = None if weight is None else jnp.asarray(weight, dtype=jnp.float32)
+        assert normalization in ["sigmoid", "softmax", "none"]
+        self.normalization = normalization
+
+    def _normalize(self, x):
+        if self.normalization == "sigmoid":
+            return jax.nn.sigmoid(x)
+        if self.normalization == "softmax":
+            return jax.nn.softmax(x, axis=-1)
+        return x
+
+    def dice(self, input, target, weight):
+        raise NotImplementedError
+
+    def __call__(self, input, target):
+        input = self._normalize(input)
+        per_channel_dice = self.dice(input, target, weight=self.weight)
+        return 1.0 - jnp.mean(per_channel_dice)
+
+
+class DiceLoss(_AbstractDiceLoss):
+    """Dice loss (arXiv:1606.04797); logits normalized by sigmoid by default."""
+
+    def dice(self, input, target, weight):
+        return compute_per_channel_dice(input, target, weight=self.weight)
+
+
+class GeneralizedDiceLoss(_AbstractDiceLoss):
+    """Generalized Dice Loss (arXiv:1707.03237) with inverse-volume weights (losses.py:148-184)."""
+
+    def __init__(self, normalization="sigmoid", epsilon=1e-6):
+        super().__init__(weight=None, normalization=normalization)
+        self.epsilon = epsilon
+
+    def dice(self, input, target, weight):
+        assert input.shape == target.shape, "'input' and 'target' must have the same shape"
+        input = flatten(input)
+        target = flatten(target).astype(jnp.float32)
+
+        if input.shape[0] == 1:
+            # GDL needs at least 2 channels: split foreground/background
+            input = jnp.concatenate([input, 1 - input], axis=0)
+            target = jnp.concatenate([target, 1 - target], axis=0)
+
+        w_l = target.sum(-1)
+        w_l = jax.lax.stop_gradient(1.0 / jnp.clip(w_l * w_l, min=self.epsilon))
+
+        intersect = (input * target).sum(-1) * w_l
+        denominator = jnp.clip(((input + target).sum(-1) * w_l), min=self.epsilon)
+        return 2 * (intersect.sum() / denominator.sum())
+
+
+class BCEWithLogitsLoss:
+    """torch.nn.BCEWithLogitsLoss parity, optional per-channel pos_weight."""
+
+    def __init__(self, pos_weight=None):
+        self.pos_weight = None if pos_weight is None else jnp.asarray(pos_weight, dtype=jnp.float32)
+
+    def __call__(self, input, target):
+        return jnp.mean(_stable_bce_with_logits(input, target.astype(input.dtype), self.pos_weight))
+
+
+class BCEDiceLoss:
+    """BCE + alpha * Dice on logits (losses.py:187-201)."""
+
+    def __init__(self, alpha=1.0):
+        self.alpha = alpha
+        self.bce = BCEWithLogitsLoss()
+        self.dice = DiceLoss()
+
+    def __call__(self, input, target):
+        return self.bce(input, target) + self.alpha * self.dice(input, target)
+
+
+class CrossEntropyLoss:
+    """torch.nn.CrossEntropyLoss parity: int class-map targets, class weights,
+    ignore_index; weighted mean normalized by the summed weights of counted
+    elements."""
+
+    def __init__(self, weight=None, ignore_index=-100):
+        self.weight = None if weight is None else jnp.asarray(weight, dtype=jnp.float32)
+        self.ignore_index = ignore_index
+
+    def __call__(self, input, target):
+        return self._compute(input, target, self.weight)
+
+    def _compute(self, input, target, weight):
+        num_classes = input.shape[-1]
+        target = target.astype(jnp.int32)
+        valid = target != self.ignore_index
+        safe_target = jnp.where(valid, target, 0)
+        logp = jax.nn.log_softmax(input, axis=-1)
+        picked = jnp.take_along_axis(logp, safe_target[..., None], axis=-1)[..., 0]
+        if weight is not None:
+            w = weight[jnp.clip(safe_target, 0, num_classes - 1)]
+        else:
+            w = jnp.ones_like(picked)
+        w = w * valid.astype(picked.dtype)
+        return -(w * picked).sum() / jnp.clip(w.sum(), min=1e-12)
+
+
+class WeightedCrossEntropyLoss(CrossEntropyLoss):
+    """WCE (arXiv:1707.03237): detached inverse-frequency class weights
+    computed from the softmax of the input (losses.py:204-227)."""
+
+    def __init__(self, ignore_index=-1):
+        super().__init__(weight=None, ignore_index=ignore_index)
+
+    def __call__(self, input, target):
+        weight = self._class_weights(input)
+        return self._compute(input, target, weight)
+
+    @staticmethod
+    def _class_weights(input):
+        probs = jax.nn.softmax(input, axis=-1)
+        flattened = flatten(probs)
+        nominator = (1.0 - flattened).sum(-1)
+        denominator = flattened.sum(-1)
+        return jax.lax.stop_gradient(nominator / denominator)
+
+
+def _smooth_l1(diff, beta=1.0):
+    abs_diff = jnp.abs(diff)
+    return jnp.where(abs_diff < beta, 0.5 * diff * diff / beta, abs_diff - 0.5 * beta)
+
+
+class SmoothL1Loss:
+    def __call__(self, input, target):
+        return jnp.mean(_smooth_l1(input - target.astype(input.dtype)))
+
+
+class WeightedSmoothL1Loss:
+    """SmoothL1 with a constant factor applied below/above a target threshold
+    (losses.py:230-250)."""
+
+    def __init__(self, threshold, initial_weight, apply_below_threshold=True):
+        self.threshold = threshold
+        self.apply_below_threshold = apply_below_threshold
+        self.weight = initial_weight
+
+    def __call__(self, input, target):
+        target = target.astype(input.dtype)
+        l1 = _smooth_l1(input - target)
+        if self.apply_below_threshold:
+            mask = target < self.threshold
+        else:
+            mask = target >= self.threshold
+        l1 = jnp.where(mask, l1 * self.weight, l1)
+        return jnp.mean(l1)
+
+
+class MSELoss:
+    def __call__(self, input, target):
+        diff = input - target.astype(input.dtype)
+        return jnp.mean(diff * diff)
+
+
+class L1Loss:
+    def __call__(self, input, target):
+        return jnp.mean(jnp.abs(input - target.astype(input.dtype)))
+
+
+def get_loss_criterion(config):
+    """Builds the loss from config['loss'] with the reference's wrapping rules
+    (losses.py:274-307): MaskingLossWrapper for non-CE losses with ignore_index,
+    SkipLastTargetChannelWrapper when skip_last_target is set."""
+    assert "loss" in config, "Could not find loss function configuration"
+    loss_config = dict(config["loss"])
+    name = loss_config.pop("name")
+    logger.info(f"Creating loss function: {name}")
+
+    ignore_index = loss_config.pop("ignore_index", None)
+    skip_last_target = loss_config.pop("skip_last_target", False)
+    weight = loss_config.pop("weight", None)
+
+    if weight is not None:
+        weight = jnp.asarray(weight, dtype=jnp.float32)
+        logger.info(f"Using class weights: {weight}")
+
+    pos_weight = loss_config.pop("pos_weight", None)
+    if pos_weight is not None:
+        pos_weight = jnp.asarray(pos_weight, dtype=jnp.float32)
+
+    loss = _create_loss(name, loss_config, weight, ignore_index, pos_weight)
+
+    if not (ignore_index is None or name in ["CrossEntropyLoss", "WeightedCrossEntropyLoss"]):
+        # CE losses handle ignore_index natively; mask everything else
+        loss = MaskingLossWrapper(loss, ignore_index)
+
+    if skip_last_target:
+        loss = SkipLastTargetChannelWrapper(loss, loss_config.get("squeeze_channel", False))
+
+    return loss
+
+
+def _create_loss(name, loss_config, weight, ignore_index, pos_weight):
+    if name == "BCEWithLogitsLoss":
+        return BCEWithLogitsLoss(pos_weight=pos_weight)
+    elif name == "BCEDiceLoss":
+        return BCEDiceLoss(loss_config.get("alpha", 1.0))
+    elif name == "CrossEntropyLoss":
+        if ignore_index is None:
+            ignore_index = -100
+        return CrossEntropyLoss(weight=weight, ignore_index=ignore_index)
+    elif name == "WeightedCrossEntropyLoss":
+        if ignore_index is None:
+            ignore_index = -100
+        return WeightedCrossEntropyLoss(ignore_index=ignore_index)
+    elif name == "GeneralizedDiceLoss":
+        return GeneralizedDiceLoss(normalization=loss_config.get("normalization", "sigmoid"))
+    elif name == "DiceLoss":
+        return DiceLoss(weight=weight, normalization=loss_config.get("normalization", "sigmoid"))
+    elif name == "MSELoss":
+        return MSELoss()
+    elif name == "SmoothL1Loss":
+        return SmoothL1Loss()
+    elif name == "L1Loss":
+        return L1Loss()
+    elif name == "WeightedSmoothL1Loss":
+        return WeightedSmoothL1Loss(
+            threshold=loss_config["threshold"],
+            initial_weight=loss_config["initial_weight"],
+            apply_below_threshold=loss_config.get("apply_below_threshold", True),
+        )
+    else:
+        raise RuntimeError(f"Unsupported loss function: '{name}'")

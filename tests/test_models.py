@@ -1,0 +1,106 @@
+"""Forward-shape and output-range checks for all model variants.
+
+Mirrors the reference test strategy (tests/test_models.py): shape parity,
+probabilities in [0, 1], and the ResNet-block channel-projection cases.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch3dunet_tpu.models import get_model, is_model_2d
+from pytorch3dunet_tpu.models.blocks import ResNetBlock
+
+
+@pytest.mark.parametrize(
+    "model_name,is3d",
+    [
+        ("UNet3D", True),
+        ("ResidualUNet3D", True),
+        ("ResidualUNetSE3D", True),
+        ("UNet2D", False),
+        ("ResidualUNet2D", False),
+    ],
+)
+def test_model_forward(model_name, is3d):
+    cfg = {
+        "name": model_name,
+        "in_channels": 1,
+        "out_channels": 2,
+        "f_maps": 8,
+        "num_groups": 4,
+        "final_sigmoid": True,
+        "num_levels": 3,
+    }
+    model = get_model(cfg)
+    assert is_model_2d(model) == (not is3d)
+
+    spatial = (16, 32, 32) if is3d else (32, 32)
+    x = np.random.RandomState(7).rand(1, *spatial, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=spatial)
+    probs, logits = model.apply(variables, x)
+
+    assert probs.shape == (1, *spatial, 2)
+    assert logits.shape == probs.shape
+    assert float(probs.min()) >= 0.0 and float(probs.max()) <= 1.0
+
+
+def test_softmax_final_activation():
+    cfg = {
+        "name": "UNet3D",
+        "in_channels": 1,
+        "out_channels": 3,
+        "f_maps": 8,
+        "num_groups": 4,
+        "final_sigmoid": False,
+        "num_levels": 2,
+    }
+    model = get_model(cfg)
+    x = np.random.RandomState(3).rand(2, 8, 16, 16, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(8, 16, 16))
+    probs, _ = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0, atol=1e-5)
+
+
+def test_regression_mode_returns_logits():
+    cfg = {
+        "name": "UNet3D",
+        "in_channels": 1,
+        "out_channels": 1,
+        "f_maps": 8,
+        "num_groups": 4,
+        "is_segmentation": False,
+        "num_levels": 2,
+    }
+    model = get_model(cfg)
+    x = np.random.RandomState(3).rand(1, 8, 16, 16, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(8, 16, 16))
+    probs, logits = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(probs), np.asarray(logits))
+
+
+@pytest.mark.parametrize("in_channels,out_channels", [(8, 16), (16, 16), (16, 8)])
+def test_resnet_block_channel_projection(in_channels, out_channels):
+    block = ResNetBlock(out_channels=out_channels, num_groups=4, spatial_rank=3)
+    x = np.random.RandomState(1).rand(1, 8, 8, 8, in_channels).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    y = block.apply(variables, x)
+    assert y.shape == (1, 8, 8, 8, out_channels)
+
+
+def test_anisotropic_pooling():
+    # pool_kernel_size (1, 2, 2) keeps z-resolution, as used by anisotropic configs
+    cfg = {
+        "name": "UNet3D",
+        "in_channels": 1,
+        "out_channels": 1,
+        "f_maps": 8,
+        "num_groups": 4,
+        "num_levels": 3,
+        "pool_kernel_size": [1, 2, 2],
+    }
+    model = get_model(cfg)
+    x = np.random.RandomState(3).rand(1, 4, 32, 32, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32))
+    probs, _ = model.apply(variables, x)
+    assert probs.shape == (1, 4, 32, 32, 1)
