@@ -1,0 +1,67 @@
+"""predict3dunet CLI entry point (reference: pytorch3dunet/predict.py)."""
+
+import importlib
+import os
+
+import jax
+import numpy as np
+
+from pytorch3dunet_tpu.config import load_config
+from pytorch3dunet_tpu.datasets.utils import get_test_loaders
+from pytorch3dunet_tpu.models import get_model
+from pytorch3dunet_tpu.utils import get_logger
+from pytorch3dunet_tpu.utils.checkpoint import load_checkpoint
+
+logger = get_logger("UNet3DPredict")
+
+
+def get_predictor(model, variables, config: dict):
+    """Resolves the predictor class from config['predictor'] (reference predict.py:20-40)."""
+    output_dir = config["loaders"].get("output_dir", None)
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+
+    predictor_config = dict(config.get("predictor", {}))
+    class_name = predictor_config.pop("name", "StandardPredictor")
+
+    m = importlib.import_module("pytorch3dunet_tpu.predictor")
+    predictor_class = getattr(m, class_name)
+    out_channels = config["model"].get("out_channels")
+    return predictor_class(model, variables, output_dir, out_channels, **predictor_config,
+                           device=config["device"])
+
+
+def main():
+    """Loads the model + checkpoint and runs prediction over every test loader."""
+    config, _ = load_config()
+
+    model = get_model(config["model"])
+    device = config.get("device", None)
+    assert device, "Device not specified in the config file and could not be inferred automatically"
+    logger.info(f"Using device: {device}")
+
+    model_path = config["model_path"]
+    logger.info(f"Loading model from {model_path}...")
+    # parameters are shape-independent of the spatial dims: init with the
+    # default example shape, then restore from the checkpoint
+    variables = model.init(jax.random.PRNGKey(0))
+    state = load_checkpoint(model_path, variables)
+    variables = state["model_state_dict"]
+
+    logger.info("Creating predictor...")
+    predictor = get_predictor(model, variables, config)
+
+    metrics = []
+    for test_loader in get_test_loaders(config):
+        metric = predictor(test_loader)
+        if metric is not None:
+            metrics.append(metric)
+
+    if metrics:
+        metrics = np.asarray(metrics, dtype=np.float64)
+        logger.info(f"Per-class average metric: {metrics.mean(axis=0)}")
+        logger.info(f"Average metric: {metrics.mean()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""Sliding-window predictors: patch inference + halo removal + volume stitching.
+
+Workflow parity with the reference (pytorch3dunet/unet3d/predictor.py):
+`StandardPredictor` keeps the assembled volume in RAM, `LazyPredictor` writes
+patches straight into a chunked gzip H5 dataset, `DSB2018Predictor` handles
+per-image 2D prediction with connected-component segmentation. Patches arrive
+halo-padded from the test dataset (hdf5.py:160-173); the prediction halo is
+cropped and the core is assigned at the patch index (no overlap at
+stride==patch, so stitching is pure assignment).
+
+TPU-first: the forward pass is one jitted function reused across all patches
+of equal shape; batches are fed asynchronously (JAX dispatch overlaps the
+host-side stitching of patch i with device compute of patch i+1).
+"""
+
+import os
+import time
+from pathlib import Path
+
+import h5py
+import jax
+import numpy as np
+
+from pytorch3dunet_tpu.datasets.hdf5 import AbstractHDF5Dataset
+from pytorch3dunet_tpu.datasets.utils import remove_padding
+from pytorch3dunet_tpu.models import is_model_2d
+from pytorch3dunet_tpu.utils import get_logger
+from pytorch3dunet_tpu.utils.ndimage import label as cc_label
+
+logger = get_logger("UNetPredictor")
+
+
+class AbstractPredictor:
+    """Base class for predictors.
+
+    Args:
+        model: UNetModel to run.
+        variables: model variables pytree (params [+ batch stats]).
+        output_dir: directory for prediction H5 files.
+        out_channels: number of output channels of the model.
+        device: target device ('tpu' | 'cpu').
+        output_dataset: name of the H5 dataset for predictions.
+        save_segmentation: save an argmax/binarized segmentation instead of
+            probability maps.
+        prediction_channel: save only this channel of the network output.
+        performance_metric: optional 'dice' | 'mean_iou' post-hoc evaluation.
+        gt_internal_path: H5 path of the ground truth for the evaluation.
+    """
+
+    def __init__(self, model, variables, output_dir, out_channels, device=None,
+                 output_dataset="predictions", save_segmentation=False, prediction_channel=None,
+                 performance_metric=None, gt_internal_path=None, **kwargs):
+        self.model = model
+        self.variables = variables
+        self.output_dir = output_dir
+        assert out_channels > 0, f"Invalid number of output channels: {out_channels}"
+        self.out_channels = out_channels
+        self.device = device
+        self.output_dataset = output_dataset
+        self.save_segmentation = save_segmentation
+        self.prediction_channel = prediction_channel
+        self.performance_metric = performance_metric
+        self.gt_internal_path = gt_internal_path
+        self._forward_fn = None
+
+    def _forward(self, batch_ncdhw: np.ndarray) -> np.ndarray:
+        """Jitted channels-last forward; input/output in NC(D)HW layout."""
+        if self._forward_fn is None:
+            model = self.model
+
+            def fwd(variables, x):
+                probs, _ = model.module.apply(variables, x, train=False)
+                return probs
+
+            self._forward_fn = jax.jit(fwd)
+
+        inp = np.moveaxis(np.asarray(batch_ncdhw, dtype=np.float32), 1, -1)
+        if is_model_2d(self.model):
+            # strip the singleton z-dim (reference predictor.py:154-160)
+            inp = np.squeeze(inp, axis=1)
+        probs = self._forward_fn(self.variables, inp)
+        probs = np.asarray(probs)
+        if is_model_2d(self.model):
+            probs = probs[:, None]
+        return np.moveaxis(probs, -1, 1)
+
+    def __call__(self, test_loader):
+        raise NotImplementedError
+
+
+class StandardPredictor(AbstractPredictor):
+    """Keeps the stitched prediction volume in RAM, saves it as gzip H5."""
+
+    def __call__(self, test_loader):
+        assert isinstance(test_loader.dataset, AbstractHDF5Dataset)
+        logger.info(f"Processing '{test_loader.dataset.file_path}'...")
+        start = time.perf_counter()
+
+        volume_shape = test_loader.dataset.volume_shape
+        if self.save_segmentation:
+            prediction_shape = volume_shape
+        elif self.prediction_channel is not None:
+            prediction_shape = (1,) + volume_shape
+        else:
+            prediction_shape = (self.out_channels,) + volume_shape
+
+        output_file = _get_output_file(dataset=test_loader.dataset, output_dir=self.output_dir)
+        logger.info(f"Saving predictions to: {output_file}")
+        with h5py.File(output_file, "w") as h5_output_file:
+            logger.info("Allocating prediction arrays...")
+            prediction_array = self._allocate_prediction_array(prediction_shape, h5_output_file)
+
+            patch_halo = test_loader.dataset.halo_shape
+            logger.info(f"Using halo: {patch_halo}")
+            logger.info(f"Running inference on {len(test_loader)} batches")
+
+            for batch, indices in test_loader:
+                prediction = self._forward(batch)
+                if sum(patch_halo) > 0:
+                    prediction = remove_padding(prediction, patch_halo)
+
+                for pred, index in zip(prediction, indices):
+                    if self.save_segmentation:
+                        if pred.shape[0] == 1:
+                            pred = pred[0] > 0.5
+                        else:
+                            pred = np.argmax(pred, axis=0)
+                        pred = pred.astype("uint16")
+                        index = tuple(index)
+                    else:
+                        if self.prediction_channel is None:
+                            channel_slice = slice(0, self.out_channels)
+                        else:
+                            channel_slice = slice(0, 1)
+                            pred = np.expand_dims(pred[self.prediction_channel], axis=0)
+                        index = (channel_slice,) + tuple(index)
+
+                    prediction_array[index] = pred
+
+            logger.info(f"Finished inference in {time.perf_counter() - start:.2f} seconds")
+            output_type = "segmentation" if self.save_segmentation else "probability maps"
+            logger.info(f"Saving {output_type} to: {output_file}")
+            self._create_prediction_dataset(h5_output_file, prediction_array)
+
+            if self.performance_metric is not None:
+                assert self.gt_internal_path is not None
+                gt = _load_dataset(test_loader.dataset, self.gt_internal_path)
+                prediction_array = prediction_array[...]
+                assert self.performance_metric in ["dice", "mean_iou"], (
+                    f"Unsupported performance metric: {self.performance_metric}, only dice and mean_iou are supported"
+                )
+                if self.performance_metric == "dice":
+                    return dice_score(prediction_array, gt)
+                return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+        return None
+
+    def _create_prediction_dataset(self, h5_output_file, prediction_array):
+        h5_output_file.create_dataset(self.output_dataset, data=prediction_array, compression="gzip")
+
+    def _allocate_prediction_array(self, output_shape, output_file):
+        dtype = "uint16" if self.save_segmentation else "float32"
+        return np.zeros(output_shape, dtype=dtype)
+
+
+class LazyPredictor(StandardPredictor):
+    """Streams predicted patches straight into a chunked H5 dataset — for
+    volumes that do not fit in RAM."""
+
+    def _allocate_prediction_array(self, output_shape, output_file):
+        dtype = "uint16" if self.save_segmentation else "float32"
+        return output_file.create_dataset(
+            self.output_dataset, shape=output_shape, dtype=dtype, chunks=True, compression="gzip"
+        )
+
+    def _create_prediction_dataset(self, h5_output_file, prediction_array):
+        # patches were written directly into the H5 dataset
+        pass
+
+
+class DSB2018Predictor(AbstractPredictor):
+    """Per-image 2D prediction with optional connected-component segmentation
+    (reference predictor.py:277-330)."""
+
+    def __init__(self, model, variables, output_dir, config=None, save_segmentation=True,
+                 pmaps_thershold=0.5, **kwargs):
+        kwargs.setdefault("out_channels", 1)
+        super().__init__(model, variables, output_dir, **kwargs)
+        self.pmaps_threshold = pmaps_thershold
+        self.save_segmentation = save_segmentation
+
+    def __call__(self, test_loader):
+        for img, paths in test_loader:
+            pred = self._forward_2d(img)
+            dsb_save_batch(self.output_dir, paths, pred,
+                           save_segmentation=self.save_segmentation,
+                           pmaps_thershold=self.pmaps_threshold)
+
+    def _forward_2d(self, img: np.ndarray) -> np.ndarray:
+        if self._forward_fn is None:
+            model = self.model
+
+            def fwd(variables, x):
+                probs, _ = model.module.apply(variables, x, train=False)
+                return probs
+
+            self._forward_fn = jax.jit(fwd)
+        inp = np.moveaxis(np.asarray(img, dtype=np.float32), 1, -1)
+        probs = self._forward_fn(self.variables, inp)
+        return np.moveaxis(np.asarray(probs), -1, 1)
+
+
+def dsb_save_batch(output_dir, paths, pred, save_segmentation=True, pmaps_thershold=0.5):
+    def _pmaps_to_seg(p):
+        mask = p > pmaps_thershold
+        return cc_label(mask.astype(np.uint8)).astype("uint16")
+
+    for single_pred, single_path in zip(pred, paths):
+        logger.info(f"Processing {single_path}")
+        single_pred = single_pred.squeeze()
+
+        out_file = os.path.splitext(single_path)[0] + "_predictions.h5"
+        if output_dir is not None:
+            out_file = os.path.join(output_dir, os.path.split(out_file)[1])
+
+        with h5py.File(out_file, "w") as f:
+            f.create_dataset("predictions", data=single_pred, compression="gzip")
+            if save_segmentation:
+                f.create_dataset("segmentation", data=_pmaps_to_seg(single_pred), compression="gzip")
+
+
+def _get_output_file(dataset, suffix: str = "_predictions", output_dir=None) -> Path:
+    file_path = Path(dataset.file_path)
+    output_dir = file_path.parent if output_dir is None else Path(output_dir)
+    return output_dir / (file_path.stem + suffix + ".h5")
+
+
+def _load_dataset(dataset, internal_path: str) -> np.ndarray:
+    with h5py.File(dataset.file_path, "r") as f:
+        return f[internal_path][...]
+
+
+def mean_iou(pred: np.ndarray, gt: np.ndarray, n_classes: int, avg: bool = False):
+    """Per-class IoU of a segmentation vs ground truth, skipping background."""
+    pred = pred.astype("uint16")
+    gt = gt.astype("uint16")
+    assert pred.shape == gt.shape, f"Predictions and ground truth have different shapes: {pred.shape} != {gt.shape}"
+
+    per_class_iou = []
+    for c in range(1, n_classes):
+        intersection = np.logical_and(gt == c, pred == c).sum()
+        union = np.logical_or(gt == c, pred == c).sum()
+        per_class_iou.append(intersection / union)
+
+    if avg:
+        return np.mean(per_class_iou)
+    return per_class_iou
+
+
+def dice_score(pred: np.ndarray, gt: np.ndarray, avg: bool = False):
+    """Per-channel Dice of a (C, ...) prediction vs ground truth."""
+    pred = pred.astype("uint16")
+    gt = gt.astype("uint16")
+    assert pred.shape == gt.shape, f"Predictions and ground truth have different shapes: {pred.shape} != {gt.shape}"
+    per_class_dice = []
+    for c_pred, c_gt in zip(pred, gt):
+        intersection = np.logical_and(c_gt, c_pred).sum()
+        union = c_gt.sum() + c_pred.sum()
+        per_class_dice.append(2 * intersection / union)
+    if avg:
+        return np.mean(per_class_dice)
+    return per_class_dice

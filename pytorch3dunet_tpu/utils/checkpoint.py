@@ -1,0 +1,126 @@
+"""Checkpoint save/load for param + optimizer pytrees.
+
+Same workflow as the reference (pytorch3dunet/unet3d/utils.py:15-65,
+trainer.py:382-403): `last_checkpoint.pytorch` written every validation cycle
+and copied to `best_checkpoint.pytorch` on metric improvement; a checkpoint
+carries {num_epochs, num_iterations, model_state_dict, best_eval_score,
+optimizer_state_dict}. The on-disk format here is a compressed npz of
+flattened pytree leaves (keyed by path) plus a small metadata record — no
+pickle, so checkpoints are safe to load from untrusted sources.
+"""
+
+import io
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from pytorch3dunet_tpu.utils.misc import get_logger
+
+logger = get_logger("Checkpoint")
+
+LAST_CHECKPOINT = "last_checkpoint.pytorch"
+BEST_CHECKPOINT = "best_checkpoint.pytorch"
+
+
+def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
+    """Flattens a pytree to {path: numpy array}; named-tuple/list positions are indexed."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(_path_token(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_token(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def tree_leaves_list(tree) -> list[np.ndarray]:
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+def restore_tree(template, leaves: list[np.ndarray]):
+    """Rebuilds a pytree with `template`'s structure from a flat leaves list."""
+    treedef = jax.tree_util.tree_structure(template)
+    template_leaves = jax.tree_util.tree_leaves(template)
+    assert len(template_leaves) == len(leaves), (
+        f"Checkpoint has {len(leaves)} leaves but the state expects {len(template_leaves)}"
+    )
+    cast = [np.asarray(leaf).astype(np.asarray(t).dtype) for t, leaf in zip(template_leaves, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
+def state_to_bytes(state: dict) -> bytes:
+    """Serializes {metadata + pytrees} into one npz blob."""
+    arrays = {}
+    meta = {}
+    for key, value in state.items():
+        if isinstance(value, (int, float, str, bool)) or value is None:
+            meta[key] = value
+        else:
+            # pytree: store ordered leaves under a reserved prefix
+            for i, leaf in enumerate(tree_leaves_list(value)):
+                arrays[f"__tree__/{key}/{i:05d}"] = leaf
+            meta[f"__tree_len__/{key}"] = len(tree_leaves_list(value))
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def bytes_to_state(blob: bytes) -> dict:
+    with np.load(io.BytesIO(blob), allow_pickle=False) as data:
+        meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+        state = {}
+        trees = {}
+        for key in data.files:
+            if key.startswith("__tree__/"):
+                _, tree_key, idx = key.split("/")
+                trees.setdefault(tree_key, {})[int(idx)] = data[key]
+        for key, value in meta.items():
+            if key.startswith("__tree_len__/"):
+                continue
+            state[key] = value
+        for tree_key, leaves in trees.items():
+            state[tree_key] = [leaves[i] for i in sorted(leaves)]
+    return state
+
+
+def save_checkpoint(state: dict, is_best: bool, checkpoint_dir: str):
+    """Writes last_checkpoint.pytorch; copies to best_checkpoint.pytorch when best."""
+    if not os.path.exists(checkpoint_dir):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    last_file_path = os.path.join(checkpoint_dir, LAST_CHECKPOINT)
+    with open(last_file_path, "wb") as f:
+        f.write(state_to_bytes(state))
+    if is_best:
+        shutil.copyfile(last_file_path, os.path.join(checkpoint_dir, BEST_CHECKPOINT))
+
+
+def load_checkpoint(checkpoint_path: str, variables_template=None, opt_state_template=None) -> dict:
+    """Loads a checkpoint; restores pytrees against the provided templates.
+
+    Returns the state dict with 'model_state_dict' (and 'optimizer_state_dict'
+    when a template is given) replaced by restored pytrees.
+    """
+    if not os.path.exists(checkpoint_path):
+        raise OSError(f"Checkpoint '{checkpoint_path}' does not exist")
+
+    with open(checkpoint_path, "rb") as f:
+        state = bytes_to_state(f.read())
+
+    if variables_template is not None and "model_state_dict" in state:
+        state["model_state_dict"] = restore_tree(variables_template, state["model_state_dict"])
+    if opt_state_template is not None and "optimizer_state_dict" in state:
+        state["optimizer_state_dict"] = restore_tree(opt_state_template, state["optimizer_state_dict"])
+    return state

@@ -8,6 +8,10 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8 " + os.envir
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: 3D conv grads are slow to compile on the CPU
+# backend; identical shapes across tests/runs hit the cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import h5py
 import numpy as np

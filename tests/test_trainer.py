@@ -1,0 +1,124 @@
+"""End-to-end trainer tests: build from config, fit 2 iterations, resume from
+the checkpoint — over a loss x model matrix (reference: tests/test_trainer.py).
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from pytorch3dunet_tpu.trainer import create_trainer
+
+
+def _add_paths(config, tmpdir, binary_loss: bool):
+    train_path = _create_random_input(tmpdir, "train.h5", binary_loss)
+    val_path = _create_random_input(tmpdir, "val.h5", binary_loss)
+    config["loaders"]["train"]["file_paths"] = [train_path]
+    config["loaders"]["val"]["file_paths"] = [val_path]
+    config["trainer"]["checkpoint_dir"] = os.path.join(tmpdir, "checkpoints")
+    os.makedirs(config["trainer"]["checkpoint_dir"], exist_ok=True)
+    return config
+
+
+def _create_random_input(tmpdir, name, binary_loss):
+    path = os.path.join(tmpdir, name)
+    shape = (32, 128, 128)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=np.random.rand(3, *shape))
+        if binary_loss:
+            f.create_dataset("label", data=np.random.randint(0, 2, shape).astype(np.float32))
+        else:
+            f.create_dataset("label", data=np.random.randint(0, 2, shape))
+    return path
+
+
+def _set_loss(config, loss_name, eval_name="MeanIoU"):
+    binary = loss_name in ["BCEWithLogitsLoss", "DiceLoss", "BCEDiceLoss", "GeneralizedDiceLoss"]
+    config["loss"] = {"name": loss_name}
+    config["eval_metric"] = {"name": eval_name}
+    if binary:
+        # binary losses expect a channel target of the same shape as the output
+        config["model"]["out_channels"] = 1
+        for phase in ["train", "val"]:
+            label_cfg = config["loaders"][phase]["transformer"]["label"]
+            for t in label_cfg:
+                if t["name"] == "ToTensor":
+                    t["expand_dims"] = True
+                    t.pop("dtype", None)
+        config["eval_metric"] = {"name": "DiceCoefficient"}
+    return binary
+
+
+def _assert_train_save_load(config, tmpdir, loss_name):
+    binary = _set_loss(config, loss_name)
+    config = _add_paths(config, str(tmpdir), binary)
+
+    trainer = create_trainer(config)
+    trainer.fit()
+    assert trainer.num_iterations > config["trainer"]["max_num_iterations"]
+
+    checkpoint = os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch")
+    assert os.path.exists(checkpoint)
+
+    # resume from the checkpoint
+    resume_config = dict(config)
+    resume_config["trainer"] = dict(config["trainer"])
+    resume_config["trainer"]["resume"] = checkpoint
+    trainer2 = create_trainer(resume_config)
+    trainer2.fit()
+    assert trainer2.num_iterations >= trainer.num_iterations
+
+
+@pytest.mark.parametrize("loss_name", ["CrossEntropyLoss", "WeightedCrossEntropyLoss", "BCEWithLogitsLoss",
+                                       "DiceLoss"])
+def test_unet3d_train_save_load(train_config, tmpdir, loss_name):
+    _assert_train_save_load(train_config, tmpdir, loss_name)
+
+
+def test_residual_unet3d(train_config, tmpdir):
+    train_config["model"]["name"] = "ResidualUNet3D"
+    train_config["model"]["num_levels"] = 3
+    _assert_train_save_load(train_config, tmpdir, "CrossEntropyLoss")
+
+
+def test_unet2d(train_config_2d, tmpdir):
+    _assert_train_save_load(train_config_2d, tmpdir, "CrossEntropyLoss")
+
+
+def test_loss_decreases(train_config, tmpdir):
+    """Training on a learnable target must reduce the loss."""
+    config = train_config
+    _set_loss(config, "DiceLoss")
+    config = _add_paths(config, str(tmpdir), binary_loss=True)
+    config["trainer"]["max_num_iterations"] = 12
+    config["trainer"]["max_num_epochs"] = 10
+    config["trainer"]["validate_after_iters"] = 100
+    config["trainer"]["log_after_iters"] = 100
+    config["optimizer"]["learning_rate"] = 1e-2
+
+    # target = thresholded raw channel: learnable from the input
+    train_path = config["loaders"]["train"]["file_paths"][0]
+    with h5py.File(train_path, "r+") as f:
+        raw = f["raw"][:]
+        del f["label"]
+        f.create_dataset("label", data=(raw[0] > 0.5).astype(np.float32))
+
+    trainer = create_trainer(config)
+    losses = []
+    orig_step_builder = trainer._build_train_step
+
+    def tracking_builder():
+        step = orig_step_builder()
+
+        def wrapped(*args):
+            out = step(*args)
+            losses.append(float(out[2]))
+            return out
+
+        return wrapped
+
+    trainer._build_train_step = tracking_builder
+    trainer.fit()
+    assert len(losses) >= 10
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), f"loss did not decrease: {losses}"
