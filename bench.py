@@ -1,0 +1,115 @@
+"""Benchmark: UNet3D training throughput (voxels/sec/chip) on the reference's
+canonical 3D workload.
+
+Workload = the 3DUnet_confocal_boundary headline configuration
+(reference resources/3DUnet_confocal_boundary/train_config.yml: patch
+80x170x170, batch 1, f_maps 32, layer_order gcr, BCEDiceLoss-style training),
+measured as full train steps (forward + loss + backward + Adam update) on one
+chip, bf16 compute / fp32 params.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md). The
+denominator used here is an estimated A100 throughput for the reference torch
+implementation on the same workload: ~23 Mvoxels/s (3.1 TFLOP/step at ~35%
+TF32 utilization on a 312 TFLOP A100 — see BENCH_NOTES.md for the
+derivation). vs_baseline = measured voxels/sec / 23e6.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+A100_REFERENCE_VOXELS_PER_SEC = 23e6
+
+PATCH = (80, 170, 170)
+BATCH = 1
+
+
+def build_train_step():
+    from pytorch3dunet_tpu.losses import BCEDiceLoss
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.utils.optim import create_optimizer
+
+    model = get_model({
+        "name": "UNet3D",
+        "in_channels": 1,
+        "out_channels": 1,
+        "f_maps": 32,
+        "layer_order": "gcr",
+        "num_groups": 8,
+        "final_sigmoid": True,
+        "dtype": "bfloat16",
+    })
+    loss_criterion = BCEDiceLoss()
+    tx = create_optimizer({"name": "Adam", "learning_rate": 2e-4})
+
+    # jit the whole init: one dispatch instead of hundreds of eager ops
+    # (the host<->device link is high-latency in this environment)
+    example = jnp.zeros((1, 16, 32, 32, 1), dtype=jnp.float32)
+    variables = jax.jit(lambda rng, x: model.module.init(rng, x, train=False))(jax.random.PRNGKey(0), example)
+    opt_state = tx.init(variables["params"])
+
+    def train_step(carry, _):
+        params, opt_state, rng = carry
+        # generate the batch on device: the benchmark measures compute, not
+        # the host link (which is tunneled in this environment)
+        rng, kx, ky = jax.random.split(rng, 3)
+        x = jax.random.uniform(kx, (BATCH, *PATCH, 1), dtype=jnp.float32)
+        y = (jax.random.uniform(ky, (BATCH, *PATCH, 1)) > 0.5).astype(jnp.float32)
+
+        def loss_fn(p):
+            probs, logits = model.module.apply({"params": p}, x, train=False)
+            return loss_criterion(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_opt_state, rng), loss
+
+    def run_steps(params, opt_state, rng, n):
+        # N steps in one device program: a single dispatch, immune to the
+        # host<->device tunnel latency of this environment
+        (params, opt_state, rng), losses = jax.lax.scan(
+            train_step, (params, opt_state, rng), None, length=n
+        )
+        return params, opt_state, losses[-1]
+
+    return run_steps, variables["params"], opt_state
+
+
+def main():
+    run_steps, params, opt_state = build_train_step()
+    n_steps = 20
+    run = jax.jit(run_steps, static_argnums=(3,), donate_argnums=(0, 1))
+
+    # warmup (compile); a different rng key than the timed run so no result
+    # caching layer can alias the two computations
+    params, opt_state, loss = run(params, opt_state, jax.random.PRNGKey(7), n_steps)
+    _ = float(loss)
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = run(params, opt_state, jax.random.PRNGKey(42), n_steps)
+    final_loss = float(loss)  # forces completion
+    dt = (time.perf_counter() - t0) / n_steps
+
+    assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
+    voxels_per_sec = BATCH * int(np.prod(PATCH)) / dt
+
+    print(json.dumps({
+        "metric": "UNet3D train voxels/sec/chip (80x170x170, f_maps=32, bf16)",
+        "value": round(voxels_per_sec, 1),
+        "unit": "voxels/sec",
+        "vs_baseline": round(voxels_per_sec / A100_REFERENCE_VOXELS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
