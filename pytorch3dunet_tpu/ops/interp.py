@@ -8,6 +8,7 @@ align_corners=False default.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _MODE_TO_METHOD = {
     "nearest": "nearest",
@@ -22,11 +23,28 @@ def resize_spatial(x: jax.Array, target_spatial: tuple[int, ...], mode: str = "n
     """Resizes the spatial dims of an (N, *spatial, C) tensor to `target_spatial`."""
     if tuple(x.shape[1:-1]) == tuple(target_spatial):
         return x
+    if mode == "nearest":
+        return _nearest_resize(x, target_spatial)
     method = _MODE_TO_METHOD[mode]
     out_shape = (x.shape[0], *target_spatial, x.shape[-1])
     antialias = mode == "area"
-    # resize in the compute dtype; nearest is a pure gather so dtype is preserved
     return jax.image.resize(x, out_shape, method=method, antialias=antialias).astype(x.dtype)
+
+
+def _nearest_resize(x: jax.Array, target_spatial: tuple[int, ...]) -> jax.Array:
+    """Nearest-neighbor resize with torch F.interpolate index semantics
+    (idx = floor(i * in/out)). Exact 2x axes use repeat (a reshape/broadcast,
+    no gather — much cheaper on TPU than coordinate-based resize)."""
+    for axis, t in enumerate(target_spatial, start=1):
+        s = x.shape[axis]
+        if t == s:
+            continue
+        if t == 2 * s:
+            x = jnp.repeat(x, 2, axis=axis)
+        else:
+            idx = np.floor(np.arange(t) * s / t).astype(np.int32)
+            x = jnp.take(x, jnp.asarray(idx), axis=axis)
+    return x
 
 
 def nearest_upsample_int(x: jax.Array, factors: tuple[int, ...]) -> jax.Array:

@@ -1,0 +1,160 @@
+"""Torch checkpoint interop: load reference `.pytorch` state dicts into Flax.
+
+Supports the pretrained-model workflow of the reference (README.md:197-224,
+utils.py:36-65): a torch checkpoint produced by pytorch-3dunet can be
+converted into this framework's variables pytree, enabling fine-tuning and
+prediction with published reference checkpoints.
+
+Weight layout conversions (torch -> flax, channels-last):
+- Conv3d   (O, I, D, H, W) -> kernel (D, H, W, I, O)
+- Conv2d   (O, I, H, W)    -> kernel (H, W, I, O)
+- ConvTranspose3d (I, O, D, H, W) -> kernel (D, H, W, I, O), with the spatial
+  taps flipped (torch computes the gradient-of-conv; flax ConvTranspose with
+  transpose_kernel=False applies a fractionally-strided conv, which equals the
+  torch op on the mirrored kernel)
+- GroupNorm/BatchNorm weight/bias -> scale/bias
+- Linear   (O, I) -> kernel (I, O)
+"""
+
+import numpy as np
+
+from pytorch3dunet_tpu.utils.misc import get_logger
+
+logger = get_logger("TorchInterop")
+
+
+def _convert_conv_weight(w: np.ndarray) -> np.ndarray:
+    """torch Conv (O, I, *spatial) -> flax kernel (*spatial, I, O)."""
+    rank = w.ndim
+    return np.transpose(w, tuple(range(2, rank)) + (1, 0))
+
+
+def _convert_conv_transpose_weight(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose (I, O, *spatial) -> flax kernel (*spatial, I, O), taps mirrored."""
+    rank = w.ndim
+    w = np.transpose(w, tuple(range(2, rank)) + (0, 1))
+    spatial_axes = tuple(range(rank - 2))
+    return np.flip(w, axis=spatial_axes)
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Loads a torch checkpoint file and returns the model state dict as numpy."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if "model_state_dict" in state:
+        state = state["model_state_dict"]
+    return {k: v.numpy() for k, v in state.items()}
+
+
+def _singleconv_entries(prefix_t: str, state: dict, out: dict):
+    """Maps one torch SingleConv (conv/groupnorm/batchnorm children) to flax params."""
+    entry = {}
+    if f"{prefix_t}.conv.weight" in state:
+        conv = {"kernel": _convert_conv_weight(state[f"{prefix_t}.conv.weight"])}
+        if f"{prefix_t}.conv.bias" in state:
+            conv["bias"] = state[f"{prefix_t}.conv.bias"]
+        entry["conv"] = conv
+    if f"{prefix_t}.groupnorm.weight" in state:
+        entry["groupnorm"] = {
+            "scale": state[f"{prefix_t}.groupnorm.weight"],
+            "bias": state[f"{prefix_t}.groupnorm.bias"],
+        }
+    if f"{prefix_t}.batchnorm.weight" in state:
+        entry["batchnorm"] = {
+            "scale": state[f"{prefix_t}.batchnorm.weight"],
+            "bias": state[f"{prefix_t}.batchnorm.bias"],
+        }
+    out.update(entry)
+
+
+def _basic_module_params(prefix_t: str, state: dict) -> dict:
+    """Converts a DoubleConv / ResNetBlock / ResNetBlockSE subtree."""
+    out = {}
+    # DoubleConv path
+    for sc in ["SingleConv1", "SingleConv2"]:
+        if any(k.startswith(f"{prefix_t}.{sc}.") for k in state):
+            sub = {}
+            _singleconv_entries(f"{prefix_t}.{sc}", state, sub)
+            out[sc] = sub
+    if out:
+        return out
+
+    # ResNetBlock(SE) path: torch keeps conv1/conv2/conv3 (+ se_module) flat;
+    # flax nests the ResNetBlock under 'block' for the SE variant
+    block = {}
+    if f"{prefix_t}.conv1.weight" in state:
+        block["conv1"] = {
+            "kernel": _convert_conv_weight(state[f"{prefix_t}.conv1.weight"]),
+            "bias": state[f"{prefix_t}.conv1.bias"],
+        }
+    for sc in ["conv2", "conv3"]:
+        sub = {}
+        _singleconv_entries(f"{prefix_t}.{sc}", state, sub)
+        if sub:
+            block[sc] = sub
+
+    se = {}
+    se_prefix = f"{prefix_t}.se_module"
+    if any(k.startswith(f"{se_prefix}.cSE.") for k in state):
+        se["cSE"] = _channel_se_params(f"{se_prefix}.cSE", state)
+    if any(k.startswith(f"{se_prefix}.sSE.") for k in state):
+        se["sSE"] = _spatial_se_params(f"{se_prefix}.sSE", state)
+    if not se and f"{se_prefix}.fc1.weight" in state:
+        se = _channel_se_params(se_prefix, state)
+    if not se and f"{se_prefix}.conv.weight" in state:
+        se = _spatial_se_params(se_prefix, state)
+
+    if se:
+        return {"block": block, "se_module": se}
+    return block
+
+
+def _channel_se_params(prefix_t: str, state: dict) -> dict:
+    return {
+        "fc1": {"kernel": state[f"{prefix_t}.fc1.weight"].T, "bias": state[f"{prefix_t}.fc1.bias"]},
+        "fc2": {"kernel": state[f"{prefix_t}.fc2.weight"].T, "bias": state[f"{prefix_t}.fc2.bias"]},
+    }
+
+
+def _spatial_se_params(prefix_t: str, state: dict) -> dict:
+    return {
+        "conv": {
+            "kernel": _convert_conv_weight(state[f"{prefix_t}.conv.weight"]),
+            "bias": state[f"{prefix_t}.conv.bias"],
+        }
+    }
+
+
+def torch_state_dict_to_params(state: dict[str, np.ndarray]) -> dict:
+    """Converts a reference UNet state dict to this framework's params tree."""
+    params = {}
+
+    n_encoders = 1 + max(
+        (int(k.split(".")[1]) for k in state if k.startswith("encoders.")), default=-1
+    )
+    for i in range(n_encoders):
+        params[f"encoder{i}"] = {"basic_module": _basic_module_params(f"encoders.{i}.basic_module", state)}
+
+    n_decoders = 1 + max(
+        (int(k.split(".")[1]) for k in state if k.startswith("decoders.")), default=-1
+    )
+    for i in range(n_decoders):
+        dec = {"basic_module": _basic_module_params(f"decoders.{i}.basic_module", state)}
+        deconv_key = f"decoders.{i}.upsampling.upsample.conv_transposed.weight"
+        if deconv_key in state:
+            dec["upsampling"] = {"kernel": _convert_conv_transpose_weight(state[deconv_key])}
+        params[f"decoder{i}"] = dec
+
+    params["final_conv"] = {
+        "kernel": _convert_conv_weight(state["final_conv.weight"]),
+        "bias": state["final_conv.bias"],
+    }
+    return params
+
+
+def load_torch_checkpoint_as_variables(path: str) -> dict:
+    """Loads a reference .pytorch checkpoint into a {'params': ...} variables dict."""
+    state = load_torch_state_dict(path)
+    logger.info(f"Converting torch state dict with {len(state)} tensors from {path}")
+    return {"params": torch_state_dict_to_params(state)}

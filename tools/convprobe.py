@@ -1,0 +1,112 @@
+"""Micro-benchmarks for 3D conv formulations on TPU (layout experiments).
+
+Times representative UNet3D convs (forward and weight-gradient) under
+different lowering strategies to find the fastest mapping onto the MXU.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+DT = jnp.bfloat16
+
+
+def timeit(fn, args, n=30, label=""):
+    @jax.jit
+    def run(seed, *a):
+        def body(carry, _):
+            acc, key = carry
+            key, k = jax.random.split(key)
+            out = fn(*a, jax.random.uniform(k, (), dtype=jnp.float32))
+            return (acc + jnp.sum(out, dtype=jnp.float32) * 1e-6, key), None
+
+        (acc, _), _ = jax.lax.scan(body, (jnp.float32(0), seed), None, length=n)
+        return acc
+
+    acc = run(jax.random.PRNGKey(0), *args)
+    _ = float(acc)
+    t0 = time.perf_counter()
+    acc = run(jax.random.PRNGKey(1), *args)
+    av = float(acc)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label}: {dt*1000:.2f} ms ({av:.3f})", flush=True)
+    return dt
+
+
+def conv3d_ndhwc(x, w, s):
+    return jax.lax.conv_general_dilated(
+        x + s.astype(DT), w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv3d_ncdhw(x, w, s):
+    return jax.lax.conv_general_dilated(
+        x + s.astype(DT), w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv3d_as_2d(x, w, s):
+    # out[:, z] = sum_dz conv2d(x[:, z+dz-1], w[dz]); z folded into batch
+    N, D, H, W, C = x.shape
+    x = x + s.astype(DT)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        xs = xp[:, dz : dz + D].reshape(N * D, H, W, C)
+        o = jax.lax.conv_general_dilated(
+            xs, w[dz], (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = o if out is None else out + o
+    return out.reshape(N, D, H, W, -1)
+
+
+def wgrad(convfn, x, w, s):
+    def loss(w):
+        return jnp.sum(convfn(x, w, s).astype(jnp.float32) * 1e-6)
+
+    return jax.grad(loss)(w)
+
+
+def main(which):
+    shapes = [
+        ("full-res 96->32", (1, 80, 170, 170, 96), 32),
+        ("full-res 16->32", (1, 80, 170, 170, 16), 32),
+        ("L1 192->64", (1, 40, 85, 85, 192), 64),
+    ]
+    rs = np.random.RandomState(0)
+    for name, xshape, cout in shapes:
+        cin = xshape[-1]
+        x = jnp.asarray(rs.rand(*xshape), dtype=DT)
+        w = jnp.asarray(rs.rand(3, 3, 3, cin, cout) * 0.01, dtype=DT)
+        flops = 2 * 27 * cin * cout * np.prod(xshape[:4])
+        if "ndhwc" in which:
+            dt = timeit(conv3d_ndhwc, (x, w), label=f"{name} ndhwc fwd")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+            dt = timeit(lambda x, w, s: wgrad(conv3d_ndhwc, x, w, s), (x, w), n=10, label=f"{name} ndhwc wgrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "conv2d" in which:
+            dt = timeit(conv3d_as_2d, (x, w), label=f"{name} as-2d fwd")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+            dt = timeit(lambda x, w, s: wgrad(conv3d_as_2d, x, w, s), (x, w), n=10, label=f"{name} as-2d wgrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "ncdhw" in which:
+            xt = jnp.moveaxis(x, -1, 1)
+            wt = jnp.transpose(w, (4, 3, 0, 1, 2))
+            dt = timeit(conv3d_ncdhw, (xt, wt), label=f"{name} ncdhw fwd")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["ndhwc", "conv2d"])
