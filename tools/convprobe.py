@@ -43,7 +43,6 @@ def conv3d_ndhwc(x, w, s):
     return jax.lax.conv_general_dilated(
         x + s.astype(DT), w, (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -51,7 +50,6 @@ def conv3d_ncdhw(x, w, s):
     return jax.lax.conv_general_dilated(
         x + s.astype(DT), w, (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -66,8 +64,7 @@ def conv3d_as_2d(x, w, s):
         o = jax.lax.conv_general_dilated(
             xs, w[dz], (1, 1), [(1, 1)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+            )
         out = o if out is None else out + o
     return out.reshape(N, D, H, W, -1)
 
