@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pytorch3dunet_tpu.models.se import ChannelSELayer3D, ChannelSpatialSELayer3D, SpatialSELayer3D
+from pytorch3dunet_tpu.ops.conv import conv_nd
 from pytorch3dunet_tpu.ops.interp import resize_spatial
 
 # matches torch's default kaiming_uniform(a=sqrt(5)) conv init: U(+-sqrt(1/fan_in))
@@ -90,14 +91,15 @@ class SingleConv(nn.Module):
             if char in "rle":
                 x = _apply_activation(char, x)
             elif char == "c":
-                x = nn.Conv(
+                x = conv_nd(
                     self.out_channels,
                     kernel_size=kernel,
-                    padding=[(p, p) for p in pad],
+                    padding=pad,
                     use_bias=use_bias,
                     dtype=self.dtype,
                     kernel_init=conv_kernel_init,
                     name="conv",
+                    spatial_rank=self.spatial_rank,
                 )(x)
             elif char == "g":
                 num_channels = in_channels if i < conv_index else self.out_channels
@@ -193,12 +195,15 @@ class ResNetBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
         if in_channels != self.out_channels:
-            residual = nn.Conv(
+            residual = conv_nd(
                 self.out_channels,
-                kernel_size=(1,) * self.spatial_rank,
+                kernel_size=1,
+                padding=0,
+                use_bias=True,
                 dtype=self.dtype,
                 kernel_init=conv_kernel_init,
                 name="conv1",
+                spatial_rank=self.spatial_rank,
             )(x)
         else:
             residual = x

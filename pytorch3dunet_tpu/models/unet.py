@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch3dunet_tpu.models.blocks import Decoder, Encoder, conv_kernel_init
+from pytorch3dunet_tpu.ops.conv import conv_nd
 from pytorch3dunet_tpu.utils import get_class, get_logger, number_of_features_per_level
 
 logger = get_logger("UNetModel")
@@ -63,6 +64,7 @@ class UNetModule(nn.Module):
     dropout_prob: float | tuple = 0.1
     is3d: bool = True
     dtype: jnp.dtype | None = None
+    remat: bool = False
 
     def setup(self):
         assert len(self.f_maps) > 1, "Required at least 2 levels in the U-Net"
@@ -70,10 +72,15 @@ class UNetModule(nn.Module):
             assert self.num_groups is not None, "num_groups must be specified if GroupNorm is used"
         rank = 3 if self.is3d else 2
 
+        # rematerialize per-level blocks: trades recompute for activation HBM,
+        # allowing larger batches/patches (jax.checkpoint per encoder/decoder)
+        encoder_cls = nn.remat(Encoder) if self.remat else Encoder
+        decoder_cls = nn.remat(Decoder) if self.remat else Decoder
+
         encoders = []
         for i, out_feature_num in enumerate(self.f_maps):
             encoders.append(
-                Encoder(
+                encoder_cls(
                     out_feature_num,
                     basic_module=self.basic_module,
                     conv_kernel_size=self.conv_kernel_size,
@@ -96,7 +103,7 @@ class UNetModule(nn.Module):
         decoders = []
         for i in range(len(reversed_f_maps) - 1):
             decoders.append(
-                Decoder(
+                decoder_cls(
                     reversed_f_maps[i + 1],
                     basic_module=self.basic_module,
                     conv_kernel_size=self.conv_kernel_size,
@@ -114,12 +121,15 @@ class UNetModule(nn.Module):
             )
         self.decoders = decoders
 
-        self.final_conv = nn.Conv(
+        self.final_conv = conv_nd(
             self.out_channels,
-            kernel_size=(1,) * rank,
+            kernel_size=1,
+            padding=0,
+            use_bias=True,
             dtype=self.dtype,
             kernel_init=conv_kernel_init,
             name="final_conv",
+            spatial_rank=rank,
         )
 
     def __call__(self, x, train: bool = False):
@@ -171,6 +181,7 @@ class UNetModel:
         upsample="default",
         dropout_prob=0.1,
         dtype=None,
+        remat=False,
         **kwargs,
     ):
         if num_levels is None:
@@ -205,6 +216,7 @@ class UNetModel:
             dropout_prob=dropout_prob,
             is3d=self.is3d,
             dtype=dtype,
+            remat=remat,
         )
 
     @property

@@ -1,0 +1,111 @@
+"""TPU-tuned 3D convolution: decomposition into a sum of 2D convolutions.
+
+XLA:TPU's Conv2D lowering is substantially better optimized than Conv3D for
+the channel-narrow convs of a U-Net. Measured on v5e (tools/convprobe.py,
+bf16, full-resolution 80x170x170 activations):
+
+| conv            | Conv3D fwd | as-2D fwd | Conv3D wgrad | as-2D wgrad |
+|-----------------|-----------:|----------:|-------------:|------------:|
+| 96->32 full-res | 21.4 TF/s  | 45.8 TF/s |  11.0 TF/s   |  42.8 TF/s  |
+| 16->32 full-res | 10.4       | 18.6      |   2.5        |  11.8       |
+| 192->64 L1      | 37.2       | 47.9      |  18.5        |  38.4       |
+
+The identity: out[:, z] = sum_dz conv2d(x_padded[:, z+dz], W[dz]) — the depth
+axis folds into the conv batch, each depth-tap of the kernel becomes one 2D
+conv, and the backward pass (autodiff through pad/slice/conv2d) inherits the
+fast 2D gradient path.
+
+The parameter layout is identical to a plain 3D conv kernel
+(kd, kh, kw, in, out), so checkpoints are interchangeable with the
+reference-interop path (utils/torch_interop.py).
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from collections.abc import Sequence
+
+
+class Conv3D(nn.Module):
+    """Stride-1 3D convolution computed as kd stacked 2D convolutions."""
+
+    features: int
+    kernel_size: tuple = (3, 3, 3)
+    padding: tuple = (1, 1, 1)
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel_size
+        pd, ph, pw = self.padding
+        N, D, H, W, C = x.shape
+
+        kernel = self.param("kernel", self.kernel_init, (kd, kh, kw, C, self.features), jnp.float32)
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            x = x.astype(self.dtype)
+
+        if pd:
+            xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+        else:
+            xp = x
+        d_out = D + 2 * pd - kd + 1
+
+        out = None
+        for dz in range(kd):
+            xs = xp[:, dz : dz + d_out].reshape(N * d_out, H, W, C)
+            o = jax.lax.conv_general_dilated(
+                xs,
+                kernel[dz],
+                window_strides=(1, 1),
+                padding=[(ph, ph), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = o if out is None else out + o
+
+        h_out = H + 2 * ph - kh + 1
+        w_out = W + 2 * pw - kw + 1
+        out = out.reshape(N, d_out, h_out, w_out, self.features)
+
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            out = out + bias
+        return out
+
+
+def conv_nd(features, kernel_size, padding, use_bias, dtype, kernel_init, name, spatial_rank):
+    """Conv module factory: decomposed Conv3D for rank 3, nn.Conv for rank 2."""
+    if isinstance(kernel_size, Sequence):
+        kernel = tuple(int(k) for k in kernel_size)
+    else:
+        kernel = (int(kernel_size),) * spatial_rank
+    if isinstance(padding, Sequence):
+        pad = tuple(int(p) for p in padding)
+    else:
+        pad = (int(padding),) * spatial_rank
+
+    if spatial_rank == 3:
+        return Conv3D(
+            features,
+            kernel_size=kernel,
+            padding=pad,
+            use_bias=use_bias,
+            dtype=dtype,
+            kernel_init=kernel_init,
+            name=name,
+        )
+    return nn.Conv(
+        features,
+        kernel_size=kernel,
+        padding=[(p, p) for p in pad],
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=kernel_init,
+        name=name,
+    )
