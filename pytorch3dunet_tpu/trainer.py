@@ -82,7 +82,7 @@ class UNetTrainer:
                  checkpoint_dir, max_num_epochs, max_num_iterations, validate_after_iters=200, log_after_iters=100,
                  validate_iters=None, num_iterations=1, num_epoch=0, eval_score_higher_is_better=True,
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
-                 max_val_images=100, device=None, seed=None):
+                 max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -132,6 +132,12 @@ class UNetTrainer:
             self.checkpoint_dir = os.path.split(resume)[0]
         elif pre_trained is not None and not self.checkpoint_dir:
             self.checkpoint_dir = os.path.split(pre_trained)[0]
+
+        # observability: optional jax.profiler traces + per-step throughput
+        self.profile_dir = profile_dir
+        self.log_params = log_params
+        self._profiling = False
+        self._step_voxels = RunningAverage()
 
     # ------------------------------------------------------------------ setup
 
@@ -240,24 +246,38 @@ class UNetTrainer:
     # ------------------------------------------------------------------- fit
 
     def fit(self):
-        for _ in range(self.num_epochs, self.max_num_epochs):
-            should_terminate = self.train()
-            if should_terminate:
-                logger.info("Stopping criterion is satisfied. Finishing training")
-                return
-            self.num_epochs += 1
-        logger.info(f"Reached maximum number of epochs: {self.max_num_epochs}. Finishing training...")
+        try:
+            for _ in range(self.num_epochs, self.max_num_epochs):
+                should_terminate = self.train()
+                if should_terminate:
+                    logger.info("Stopping criterion is satisfied. Finishing training")
+                    return
+                self.num_epochs += 1
+            logger.info(f"Reached maximum number of epochs: {self.max_num_epochs}. Finishing training...")
+        finally:
+            if self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logger.info(f"Profiler trace written to {self.profile_dir}")
 
     def train(self):
         """Trains for one epoch; returns True if training should stop now."""
         train_losses = RunningAverage()
         train_eval_scores = RunningAverage()
 
+        if self.profile_dir and not self._profiling:
+            # capture a device trace of this epoch (tracing aux subsystem)
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+
+        import time as _time
+
         for t in self.loaders["train"]:
             logger.info(
                 f"Training iteration [{self.num_iterations}/{self.max_num_iterations}]. "
                 f"Epoch [{self.num_epochs}/{self.max_num_epochs - 1}]"
             )
+            _t_start = _time.perf_counter()
             raw, target_host = t
             inp, target = self._prepare_batch(raw, target_host)
             self._ensure_initialized(inp)
@@ -274,6 +294,10 @@ class UNetTrainer:
 
             batch_size = self._batch_size(raw)
             train_losses.update(float(loss), batch_size)
+
+            # per-step throughput (float(loss) above synchronizes the step)
+            step_voxels = int(np.prod(raw.shape)) // raw.shape[1]  # N*D*H*W
+            self._step_voxels.update(step_voxels / (_time.perf_counter() - _t_start))
 
             if self.num_iterations % self.validate_after_iters == 0:
                 eval_score = self.validate()
@@ -294,9 +318,15 @@ class UNetTrainer:
                     eval_score = self.eval_criterion(out_np, tar_np)
                     train_eval_scores.update(float(eval_score), batch_size)
 
-                logger.info(f"Training stats. Loss: {train_losses.avg}. Evaluation score: {train_eval_scores.avg}")
+                logger.info(
+                    f"Training stats. Loss: {train_losses.avg}. Evaluation score: {train_eval_scores.avg}. "
+                    f"Throughput: {self._step_voxels.avg / 1e6:.2f} Mvoxels/s"
+                )
                 self._log_stats("train", train_losses.avg, train_eval_scores.avg)
+                self.writer.add_scalar("train_voxels_per_sec", self._step_voxels.avg, self.num_iterations)
                 self._log_images(np.asarray(raw), np.asarray(target_host), out_np, "train_")
+                if self.log_params:
+                    self._log_params()
 
             if self.should_stop():
                 return True
@@ -386,6 +416,13 @@ class UNetTrainer:
 
     def _log_lr(self):
         self.writer.add_scalar("learning_rate", self.lr_handle.lr, self.num_iterations)
+
+    def _log_params(self):
+        """Histograms of all parameters (reference trainer.py:415-419)."""
+        flat = jax.tree_util.tree_flatten_with_path(self.variables.get("params", {}))[0]
+        for path, leaf in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            self.writer.add_histogram(name, np.asarray(leaf), self.num_iterations)
 
     def _log_stats(self, phase: str, loss_avg: float, eval_score_avg: float):
         for tag, value in {

@@ -102,6 +102,8 @@ VARIANTS = {
     "fwd_b1": lambda: time_fwd(unet3d(), (80, 170, 170), 1, label="baseline b1 170"),
     "fwd_nogn": lambda: time_fwd(unet3d(layer_order="cr"), (80, 170, 170), 1, label="no groupnorm"),
     "fwd_fp32": lambda: time_fwd(unet3d(dtype=None), (80, 170, 170), 1, label="fp32"),
+    "train_b2_remat": lambda: time_train(unet3d(remat=True), (80, 170, 170), 2, label="b2 remat"),
+    "train_b1_remat": lambda: time_train(unet3d(remat=True), (80, 170, 170), 1, label="b1 remat"),
 }
 
 
