@@ -177,6 +177,92 @@ class LazyPredictor(StandardPredictor):
         pass
 
 
+class DeviceSlidingWindowPredictor(StandardPredictor):
+    """Sliding-window prediction with the patch sweep running on device.
+
+    The mirror-padded volume is uploaded once; a jitted lax.fori_loop performs
+    slice -> forward -> halo-crop -> stitch for the whole patch grid (see
+    inference_device.py). Falls back to the host loop (StandardPredictor) for
+    2D models or unsupported transformer pipelines.
+
+    Extra config keys:
+        blend: 'assign' (default, reference parity) or 'gaussian'
+            (Gaussian-weighted patch blending for overlapping grids).
+    """
+
+    def __init__(self, *args, blend="assign", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.blend = blend
+        self._sweeps = {}
+
+    def __call__(self, test_loader):
+        from pytorch3dunet_tpu.datasets.utils import mirror_pad
+        from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow, detect_device_path
+
+        dataset = test_loader.dataset
+        if is_model_2d(self.model):
+            logger.info("2D model: falling back to the host sliding-window loop")
+            return super().__call__(test_loader)
+
+        device_path = detect_device_path(dataset.transformer.phase_config["raw"], dataset.transformer.config_base)
+        if device_path is None:
+            logger.info("Unsupported transformer pipeline for the device sweep; falling back to host loop")
+            return super().__call__(test_loader)
+        normalize, stats = device_path
+
+        logger.info(f"Processing '{dataset.file_path}' with the device-side sweep...")
+        start = time.perf_counter()
+
+        import h5py as _h5py
+
+        with _h5py.File(dataset.file_path, "r") as f:
+            raw = f[dataset.raw_internal_path][:]
+        if raw.ndim == 4:
+            # move channels last for the device path
+            raw = np.moveaxis(raw, 0, -1)
+        padded = mirror_pad(np.asarray(raw, dtype=np.float32), dataset.halo_shape) if raw.ndim == 3 else \
+            np.stack([mirror_pad(raw[..., c], dataset.halo_shape) for c in range(raw.shape[-1])], axis=-1)
+
+        # core start positions from the slice grid (spatial part only)
+        starts = np.array(
+            [[s.start for s in idx[-3:]] for idx in dataset.raw_slices], dtype=np.int32
+        )
+        patch_shape = tuple(idx.stop - idx.start for idx in dataset.raw_slices[0][-3:])
+
+        key = (patch_shape, dataset.halo_shape, normalize, self.blend)
+        if key not in self._sweeps:
+            self._sweeps[key] = DeviceSlidingWindow(
+                self.model, patch_shape, dataset.halo_shape, normalize=normalize, stats=stats, blend=self.blend
+            )
+        sweep = self._sweeps[key]
+        stitched = sweep(self.variables, padded, starts)  # (D, H, W, Cout)
+        prediction_array = np.moveaxis(stitched, -1, 0)  # (Cout, D, H, W)
+
+        logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
+
+        if self.save_segmentation:
+            if prediction_array.shape[0] == 1:
+                prediction_array = (prediction_array[0] > 0.5).astype("uint16")
+            else:
+                prediction_array = np.argmax(prediction_array, axis=0).astype("uint16")
+        elif self.prediction_channel is not None:
+            prediction_array = prediction_array[self.prediction_channel : self.prediction_channel + 1]
+
+        output_file = _get_output_file(dataset=dataset, output_dir=self.output_dir)
+        logger.info(f"Saving predictions to: {output_file}")
+        with h5py.File(output_file, "w") as h5_output_file:
+            h5_output_file.create_dataset(self.output_dataset, data=prediction_array, compression="gzip")
+
+        if self.performance_metric is not None:
+            assert self.gt_internal_path is not None
+            gt = _load_dataset(dataset, self.gt_internal_path)
+            assert self.performance_metric in ["dice", "mean_iou"]
+            if self.performance_metric == "dice":
+                return dice_score(prediction_array, gt)
+            return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+        return None
+
+
 class DSB2018Predictor(AbstractPredictor):
     """Per-image 2D prediction with optional connected-component segmentation
     (reference predictor.py:277-330)."""

@@ -1,0 +1,100 @@
+"""Device-side sliding-window predictor tests: parity with the host loop."""
+
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from pytorch3dunet_tpu.datasets.utils import get_test_loaders
+from pytorch3dunet_tpu.models import get_model
+from pytorch3dunet_tpu.predict import get_predictor
+
+
+def _make_config(tmpdir, shape=(24, 72, 72), halo=(4, 8, 8), transformer=None):
+    path = os.path.join(str(tmpdir), "vol.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=np.random.RandomState(0).rand(*shape))
+    return {
+        "device": "cpu",
+        "model_path": "",
+        "model": {"name": "UNet3D", "in_channels": 1, "out_channels": 2, "layer_order": "gcr",
+                  "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": False},
+        "predictor": {"name": "StandardPredictor"},
+        "loaders": {
+            "output_dir": str(tmpdir),
+            "batch_size": 1,
+            "raw_internal_path": "raw",
+            "num_workers": 1,
+            "test": {
+                "file_paths": [path],
+                "slice_builder": {"name": "SliceBuilder", "patch_shape": [8, 24, 24],
+                                  "stride_shape": [8, 24, 24], "halo_shape": list(halo),
+                                  "skip_shape_check": True},
+                "transformer": {"raw": transformer or [{"name": "Standardize"},
+                                                       {"name": "ToTensor", "expand_dims": True}]},
+            },
+        },
+    }
+
+
+def _predict(config, model, variables):
+    predictor = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        predictor(loader)
+    out = os.path.join(config["loaders"]["output_dir"], "vol_predictions.h5")
+    with h5py.File(out, "r") as f:
+        return f["predictions"][:]
+
+
+@pytest.mark.parametrize("halo", [(4, 8, 8), (0, 0, 0)])
+def test_device_matches_host(tmpdir, halo):
+    config = _make_config(tmpdir, halo=halo)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    host = _predict(config, model, variables)
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    device = _predict(config, model, variables)
+
+    assert device.shape == host.shape
+    np.testing.assert_allclose(device, host, atol=2e-5)
+
+
+def test_gaussian_blend_no_overlap_matches_assign(tmpdir):
+    # with stride == patch there is no overlap: blending must equal assignment
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    assign = _predict(config, model, variables)
+    config["predictor"]["blend"] = "gaussian"
+    blended = _predict(config, model, variables)
+    np.testing.assert_allclose(blended, assign, atol=1e-4)
+
+
+def test_gaussian_blend_overlapping(tmpdir):
+    # overlapping grid: blending must produce valid probabilities everywhere
+    config = _make_config(tmpdir)
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [4, 12, 12]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    config["predictor"]["blend"] = "gaussian"
+    out = _predict(config, model, variables)
+    np.testing.assert_allclose(out.sum(axis=0), 1.0, atol=1e-3)  # softmax volumes blend to 1
+
+
+def test_device_per_patch_standardize(tmpdir):
+    # per-patch Standardize (no global stats) is supported on device
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+    host = _predict(config, model, variables)
+
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    device = _predict(config, model, variables)
+    np.testing.assert_allclose(device, host, atol=2e-5)
