@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from pytorch3dunet_tpu.models.se import ChannelSELayer3D, ChannelSpatialSELayer3D, SpatialSELayer3D
 from pytorch3dunet_tpu.ops.conv import conv_nd
+from pytorch3dunet_tpu.ops.groupnorm import group_norm_act
 from pytorch3dunet_tpu.ops.interp import resize_spatial
+from pytorch3dunet_tpu.ops.pool import avg_pool, max_pool
 
 # matches torch's default kaiming_uniform(a=sqrt(5)) conv init: U(+-sqrt(1/fan_in))
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
@@ -47,7 +49,31 @@ def _apply_activation(char: str, x):
     raise ValueError(f"Unknown activation char: {char}")
 
 
-def group_norm(x, num_channels: int, num_groups: int, name: str):
+class GroupNormAct(nn.Module):
+    """GroupNorm (+ optionally fused activation) backed by the Pallas fused op.
+
+    Parameter names match flax GroupNorm ('scale'/'bias') so checkpoints are
+    interchangeable. Statistics are fp32 (torch parity, eps=1e-5).
+    """
+
+    num_groups: int
+    act: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        return group_norm_act(x, scale, bias, self.num_groups, 1e-5, self.act)
+
+
+import os as _os
+
+_USE_FUSED_GN = _os.environ.get("P3DUNET_FUSED_GN", "1") == "1"
+_USE_RESHAPE_POOL = _os.environ.get("P3DUNET_RESHAPE_POOL", "1") == "1"
+
+
+def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "none"):
     """GroupNorm with torch semantics (eps=1e-5) and fp32 statistics."""
     if num_channels < num_groups:
         num_groups = 1
@@ -55,9 +81,14 @@ def group_norm(x, num_channels: int, num_groups: int, name: str):
         f"Expected number of channels in input to be divisible by num_groups. "
         f"num_channels={num_channels}, num_groups={num_groups}"
     )
+    if _USE_FUSED_GN:
+        return GroupNormAct(num_groups=num_groups, act=act, name=name)(x)
     orig_dtype = x.dtype
     out = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32, name=name)(x.astype(jnp.float32))
-    return out.astype(orig_dtype)
+    out = out.astype(orig_dtype)
+    if act != "none":
+        out = {"relu": nn.relu, "elu": nn.elu}.get(act, lambda v: nn.leaky_relu(v, 0.01))(out)
+    return out
 
 
 class SingleConv(nn.Module):
@@ -87,7 +118,12 @@ class SingleConv(nn.Module):
         use_bias = not ("g" in self.order or "b" in self.order)
         conv_index = self.order.index("c")
 
+        _FUSED_ACTS = {"r": "relu", "l": "leaky01", "e": "elu"}
+        skip_next = False
         for i, char in enumerate(self.order):
+            if skip_next:
+                skip_next = False
+                continue
             if char in "rle":
                 x = _apply_activation(char, x)
             elif char == "c":
@@ -103,7 +139,11 @@ class SingleConv(nn.Module):
                 )(x)
             elif char == "g":
                 num_channels = in_channels if i < conv_index else self.out_channels
-                x = group_norm(x, num_channels, self.num_groups, name="groupnorm")
+                # fuse a directly-following activation into the norm kernel
+                nxt = self.order[i + 1] if i + 1 < len(self.order) else ""
+                act = _FUSED_ACTS.get(nxt, "none")
+                skip_next = act != "none"
+                x = group_norm(x, num_channels, self.num_groups, name="groupnorm", act=act)
             elif char == "b":
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -321,9 +361,11 @@ class Encoder(nn.Module):
         if self.apply_pooling:
             window = _to_tuple(self.pool_kernel_size, self.spatial_rank)
             if self.pool_type == "max":
-                x = nn.max_pool(x, window_shape=window, strides=window, padding="VALID")
+                x = max_pool(x, window) if _USE_RESHAPE_POOL else nn.max_pool(
+                    x, window_shape=window, strides=window, padding="VALID")
             else:
-                x = nn.avg_pool(x, window_shape=window, strides=window, padding="VALID")
+                x = avg_pool(x, window) if _USE_RESHAPE_POOL else nn.avg_pool(
+                    x, window_shape=window, strides=window, padding="VALID")
         x = _make_basic_module(
             self.basic_module,
             self.out_channels,

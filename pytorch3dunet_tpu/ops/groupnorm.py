@@ -1,0 +1,284 @@
+"""Fused GroupNorm(+activation) with Pallas reduction kernels and a custom VJP.
+
+Why: XLA lowers the GroupNorm statistics (bf16 -> fp32 sum reductions over the
+channel-minor layout) to slow `convert_reduce` fusions — ~5 ms for one
+full-resolution tensor in the UNet3D train step (v5e trace), and the backward
+pass adds equivalent reductions for dgamma/dbeta and the group means. Here a
+single-pass Pallas kernel computes per-channel {sum, sum-of-squares} (forward)
+and {sum dz, sum dz*xhat} (backward) in fp32 while streaming the bf16 tensor
+once; group statistics then reduce over the tiny (C,) vectors, and the
+remaining elementwise math stays in jnp where XLA fuses it into neighbors.
+
+The optional fused activation covers the `cge`/`cgr`/`cgl` layer orders where
+an activation directly follows the norm; `gcr` uses act='none'.
+
+Numerics: biased variance, eps inside the sqrt — torch GroupNorm parity.
+On non-TPU backends a pure-jnp reference implementation is used.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_M = 2048
+
+# tests flip this to exercise the Pallas kernels in interpreter mode on CPU
+_INTERPRET = False
+
+
+def _act_fn(act: str):
+    if act == "none":
+        return lambda z: z
+    if act == "relu":
+        return jax.nn.relu
+    if act == "elu":
+        return jax.nn.elu
+    if act == "leaky01":
+        return partial(jax.nn.leaky_relu, negative_slope=0.01)
+    if act == "leaky10":
+        return partial(jax.nn.leaky_relu, negative_slope=0.1)
+    raise ValueError(f"unknown act: {act}")
+
+
+def _act_grad_mask(act: str, z):
+    """d act(z) / dz as a function of the pre-activation z."""
+    if act == "none":
+        return jnp.ones_like(z)
+    if act == "relu":
+        return (z > 0).astype(z.dtype)
+    if act == "elu":
+        return jnp.where(z > 0, 1.0, jnp.exp(z))
+    if act == "leaky01":
+        return jnp.where(z > 0, 1.0, 0.01)
+    if act == "leaky10":
+        return jnp.where(z > 0, 1.0, 0.1)
+    raise ValueError(f"unknown act: {act}")
+
+
+# ---------------------------------------------------------------------------
+# Pallas reduction kernels
+# ---------------------------------------------------------------------------
+
+
+def _sums_kernel(x_ref, out_ref, acc_ref, *, m_total):
+    """Per-channel sum and sum-of-squares over the flattened spatial axis."""
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[0].astype(jnp.float32)  # (TM, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * _TILE_M
+    xb = jnp.where(rows < m_total, xb, 0.0)
+    acc_ref[0:1, :] += jnp.sum(xb, axis=0, keepdims=True)
+    acc_ref[1:2, :] += jnp.sum(xb * xb, axis=0, keepdims=True)
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = acc_ref[...]
+
+
+def _channel_sums(x_flat):
+    """x_flat: (N, Mp, C) with Mp % _TILE_M == 0; returns (N, 2, C) fp32
+    [sum, sumsq] per channel (rows beyond m_total are masked)."""
+    n, mp, c = x_flat.shape
+    m_total = mp  # caller pads with zeros; masking keeps padded rows inert
+    grid = (n, mp // _TILE_M)
+    return pl.pallas_call(
+        partial(_sums_kernel, m_total=m_total),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _TILE_M, c), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=_INTERPRET,
+    )(x_flat)
+
+
+def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out_ref, acc_ref, *, act, m_total):
+    """Per-channel sum(dz) and sum(dz * xhat); dz = dy * act'(z)."""
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[0].astype(jnp.float32)  # (TM, C)
+    dyb = dy_ref[0].astype(jnp.float32)
+    mean = mean_ref[0]  # (1, C) group stats broadcast per channel
+    rstd = rstd_ref[0]
+    gamma = gamma_ref[0]
+    beta = beta_ref[0]
+
+    xhat = (xb - mean) * rstd
+    z = xhat * gamma + beta
+    dz = dyb * _act_grad_mask(act, z)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * _TILE_M
+    valid = rows < m_total
+    dz = jnp.where(valid, dz, 0.0)
+    xhat = jnp.where(valid, xhat, 0.0)
+
+    acc_ref[0:1, :] += jnp.sum(dz, axis=0, keepdims=True)
+    acc_ref[1:2, :] += jnp.sum(dz * xhat, axis=0, keepdims=True)
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = acc_ref[...]
+
+
+def _bwd_channel_sums(x_flat, dy_flat, mean_c, rstd_c, gamma, beta, act):
+    n, mp, c = x_flat.shape
+    grid = (n, mp // _TILE_M)
+    vec = lambda i, j: (i, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        partial(_bwd_sums_kernel, act=act, m_total=mp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TILE_M, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, _TILE_M, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, c), vec),
+            pl.BlockSpec((1, 1, c), vec),
+            pl.BlockSpec((1, 1, c), vec),
+            pl.BlockSpec((1, 1, c), vec),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=_INTERPRET,
+    )(x_flat, dy_flat, mean_c, rstd_c, gamma, beta)
+
+
+def _use_pallas():
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+def _flatten_pad(x):
+    """(N, *spatial, C) -> (N, Mp, C) with Mp padded to a _TILE_M multiple."""
+    n, c = x.shape[0], x.shape[-1]
+    m = int(np.prod(x.shape[1:-1]))
+    x_flat = x.reshape(n, m, c)
+    pad = (-m) % _TILE_M
+    if pad:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, pad), (0, 0)))
+    return x_flat, m
+
+
+# ---------------------------------------------------------------------------
+# fused op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _group_stats(channel_sums, m, num_groups, eps):
+    """(N, 2, C) channel sums -> per-channel mean/rstd broadcast vectors."""
+    n, _, c = channel_sums.shape
+    cg = c // num_groups
+    grouped = channel_sums.reshape(n, 2, num_groups, cg).sum(axis=3)  # (N, 2, G)
+    count = m * cg
+    mean_g = grouped[:, 0] / count
+    var_g = grouped[:, 1] / count - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats to channels
+    mean_c = jnp.repeat(mean_g, cg, axis=1)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1)
+    return mean_c, rstd_c  # (N, C)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_act(x, gamma, beta, num_groups, eps=1e-5, act="none"):
+    """GroupNorm with torch semantics + optional fused activation."""
+    y, _ = _fwd(x, gamma, beta, num_groups, eps, act)
+    return y
+
+
+def _fwd(x, gamma, beta, num_groups, eps, act):
+    orig_shape = x.shape
+    if _use_pallas():
+        x_flat, m = _flatten_pad(x)
+        sums = _channel_sums(x_flat)
+        mean_c, rstd_c = _group_stats(sums, m, num_groups, eps)
+    else:
+        n, c = x.shape[0], x.shape[-1]
+        m = int(np.prod(x.shape[1:-1]))
+        xf = x.reshape(n, m, num_groups, c // num_groups).astype(jnp.float32)
+        mean_g = xf.mean(axis=(1, 3))
+        var_g = jnp.square(xf).mean(axis=(1, 3)) - mean_g**2
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        cg = c // num_groups
+        mean_c = jnp.repeat(mean_g, cg, axis=1)
+        rstd_c = jnp.repeat(rstd_g, cg, axis=1)
+
+    # elementwise apply: XLA fuses this into the surrounding ops
+    bshape = (x.shape[0],) + (1,) * (len(orig_shape) - 2) + (x.shape[-1],)
+    scale = (rstd_c * gamma[None, :]).reshape(bshape)
+    shift = (beta[None, :] - mean_c * rstd_c * gamma[None, :]).reshape(bshape)
+    z = x.astype(jnp.float32) * scale + shift
+    y = _act_fn(act)(z).astype(x.dtype)
+    return y, (x, gamma, beta, mean_c, rstd_c)
+
+
+def _bwd(num_groups, eps, act, residuals, dy):
+    x, gamma, beta, mean_c, rstd_c = residuals
+    orig_shape = x.shape
+    n, c = x.shape[0], x.shape[-1]
+    m = int(np.prod(x.shape[1:-1]))
+    cg = c // num_groups
+
+    if _use_pallas():
+        x_flat, _ = _flatten_pad(x)
+        dy_flat, _ = _flatten_pad(dy)
+        sums = _bwd_channel_sums(
+            x_flat, dy_flat,
+            mean_c[:, None, :], rstd_c[:, None, :],
+            jnp.broadcast_to(gamma[None, None, :], (n, 1, c)).astype(jnp.float32),
+            jnp.broadcast_to(beta[None, None, :], (n, 1, c)).astype(jnp.float32),
+            act,
+        )
+        c1 = sums[:, 0]  # (N, C): sum dz
+        c2 = sums[:, 1]  # (N, C): sum dz * xhat
+    else:
+        xf = x.reshape(n, m, c).astype(jnp.float32)
+        dyf = dy.reshape(n, m, c).astype(jnp.float32)
+        xhat = (xf - mean_c[:, None, :]) * rstd_c[:, None, :]
+        z = xhat * gamma[None, None, :] + beta[None, None, :]
+        dz = dyf * _act_grad_mask(act, z)
+        c1 = dz.sum(axis=1)
+        c2 = (dz * xhat).sum(axis=1)
+
+    dgamma = c2.sum(axis=0).astype(gamma.dtype)
+    dbeta = c1.sum(axis=0).astype(beta.dtype)
+
+    # per-group means of dxhat and dxhat*xhat (dxhat = dz * gamma)
+    gamma_f = gamma.astype(jnp.float32)[None, :]
+    s1_g = (c1 * gamma_f).reshape(n, num_groups, cg).sum(axis=2)  # (N, G)
+    s2_g = (c2 * gamma_f).reshape(n, num_groups, cg).sum(axis=2)
+    count = m * cg
+    mean_dxhat = jnp.repeat(s1_g / count, cg, axis=1)  # (N, C)
+    mean_dxhat_xhat = jnp.repeat(s2_g / count, cg, axis=1)
+
+    # elementwise dx (fused by XLA); recompute xhat and dz on the fly
+    bshape = (n,) + (1,) * (len(orig_shape) - 2) + (c,)
+    mean_b = mean_c.reshape(bshape)
+    rstd_b = rstd_c.reshape(bshape)
+    gamma_b = gamma_f.reshape((1,) * (len(orig_shape) - 1) + (c,))
+    beta_b = beta.astype(jnp.float32).reshape((1,) * (len(orig_shape) - 1) + (c,))
+
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean_b) * rstd_b
+    z = xhat * gamma_b + beta_b
+    dz = dy.astype(jnp.float32) * _act_grad_mask(act, z)
+    dx = rstd_b * (dz * gamma_b - mean_dxhat.reshape(bshape) - xhat * mean_dxhat_xhat.reshape(bshape))
+    return dx.astype(x.dtype), dgamma, dbeta
+
+
+def _fwd_vjp(x, gamma, beta, num_groups, eps, act):
+    y, res = _fwd(x, gamma, beta, num_groups, eps, act)
+    return y, res
+
+
+group_norm_act.defvjp(_fwd_vjp, _bwd)

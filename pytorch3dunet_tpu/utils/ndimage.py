@@ -39,8 +39,19 @@ def label(label_image: np.ndarray, background=None, return_num: bool = False, co
         connectivity = m.ndim
     if background is None:
         background = 0
-    structure = ndi.generate_binary_structure(m.ndim, connectivity)
 
+    # fast path: native union-find labeler (one pass over the volume)
+    from pytorch3dunet_tpu.utils.native import native_label
+
+    native = native_label(m, background=background, connectivity=connectivity) if m.ndim in (2, 3) else None
+    if native is not None:
+        out, next_label = native
+        if return_num:
+            return out, next_label
+        return out
+
+    # fallback: per-value scipy labeling (never merges different input values)
+    structure = ndi.generate_binary_structure(m.ndim, connectivity)
     out = np.zeros(m.shape, dtype=np.int64)
     next_label = 0
     for v in np.unique(m):
