@@ -24,10 +24,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_M = 2048
-
 # tests flip this to exercise the Pallas kernels in interpreter mode on CPU
 _INTERPRET = False
+
+
+def _tile_m(m: int, c: int) -> int:
+    """Rows per grid step: big blocks (~4MB) keep the sequential grid short.
+    VMEM tiles pad the lane (minor) dim to 128, so budget with the padded width."""
+    lane_width = ((c + 127) // 128) * 128
+    budget = (4 * 1024 * 1024) // (2 * lane_width)
+    tile = min(m, budget)
+    return max(8, (tile // 8) * 8)
+
+
+def _fold_factor(m: int, c: int) -> int:
+    """Folds k spatial rows into the lane dim when C < 128: (M, C) ->
+    (M/k, k*C) fills the 128 lanes instead of padding them."""
+    if c >= 128:
+        return 1
+    k = 1
+    while k * 2 <= 128 // c and m % (k * 2) == 0:
+        k *= 2
+    return k
 
 
 def _act_fn(act: str):
@@ -64,7 +82,7 @@ def _act_grad_mask(act: str, z):
 # ---------------------------------------------------------------------------
 
 
-def _sums_kernel(x_ref, out_ref, acc_ref, *, m_total):
+def _sums_kernel(x_ref, out_ref, acc_ref, *, m_total, tile_m):
     """Per-channel sum and sum-of-squares over the flattened spatial axis."""
     m = pl.program_id(1)
 
@@ -73,7 +91,7 @@ def _sums_kernel(x_ref, out_ref, acc_ref, *, m_total):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[0].astype(jnp.float32)  # (TM, C)
-    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * _TILE_M
+    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * tile_m
     xb = jnp.where(rows < m_total, xb, 0.0)
     acc_ref[0:1, :] += jnp.sum(xb, axis=0, keepdims=True)
     acc_ref[1:2, :] += jnp.sum(xb * xb, axis=0, keepdims=True)
@@ -84,15 +102,15 @@ def _sums_kernel(x_ref, out_ref, acc_ref, *, m_total):
 
 
 def _channel_sums(x_flat):
-    """x_flat: (N, Mp, C) with Mp % _TILE_M == 0; returns (N, 2, C) fp32
-    [sum, sumsq] per channel (rows beyond m_total are masked)."""
-    n, mp, c = x_flat.shape
-    m_total = mp  # caller pads with zeros; masking keeps padded rows inert
-    grid = (n, mp // _TILE_M)
+    """x_flat: (N, M, C); returns (N, 2, C) fp32 [sum, sumsq] per channel
+    (out-of-range rows of the ragged last block are masked)."""
+    n, m_total, c = x_flat.shape
+    tm = _tile_m(m_total, c)
+    grid = (n, pl.cdiv(m_total, tm))
     return pl.pallas_call(
-        partial(_sums_kernel, m_total=m_total),
+        partial(_sums_kernel, m_total=m_total, tile_m=tm),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, _TILE_M, c), lambda i, j: (i, j, 0))],
+        in_specs=[pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0))],
         out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
@@ -100,7 +118,7 @@ def _channel_sums(x_flat):
     )(x_flat)
 
 
-def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out_ref, acc_ref, *, act, m_total):
+def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out_ref, acc_ref, *, act, m_total, tile_m):
     """Per-channel sum(dz) and sum(dz * xhat); dz = dy * act'(z)."""
     m = pl.program_id(1)
 
@@ -119,7 +137,7 @@ def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out
     z = xhat * gamma + beta
     dz = dyb * _act_grad_mask(act, z)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * _TILE_M
+    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * tile_m
     valid = rows < m_total
     dz = jnp.where(valid, dz, 0.0)
     xhat = jnp.where(valid, xhat, 0.0)
@@ -133,15 +151,16 @@ def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out
 
 
 def _bwd_channel_sums(x_flat, dy_flat, mean_c, rstd_c, gamma, beta, act):
-    n, mp, c = x_flat.shape
-    grid = (n, mp // _TILE_M)
+    n, m_total, c = x_flat.shape
+    tm = _tile_m(m_total, c)
+    grid = (n, pl.cdiv(m_total, tm))
     vec = lambda i, j: (i, 0, 0)  # noqa: E731
     return pl.pallas_call(
-        partial(_bwd_sums_kernel, act=act, m_total=mp),
+        partial(_bwd_sums_kernel, act=act, m_total=m_total, tile_m=tm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _TILE_M, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, _TILE_M, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, 1, c), vec),
             pl.BlockSpec((1, 1, c), vec),
             pl.BlockSpec((1, 1, c), vec),
@@ -159,14 +178,10 @@ def _use_pallas():
 
 
 def _flatten_pad(x):
-    """(N, *spatial, C) -> (N, Mp, C) with Mp padded to a _TILE_M multiple."""
+    """(N, *spatial, C) -> (N, M, C); ragged tiles are masked in the kernels."""
     n, c = x.shape[0], x.shape[-1]
     m = int(np.prod(x.shape[1:-1]))
-    x_flat = x.reshape(n, m, c)
-    pad = (-m) % _TILE_M
-    if pad:
-        x_flat = jnp.pad(x_flat, ((0, 0), (0, pad), (0, 0)))
-    return x_flat, m
+    return x.reshape(n, m, c), m
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +215,10 @@ def _fwd(x, gamma, beta, num_groups, eps, act):
     orig_shape = x.shape
     if _use_pallas():
         x_flat, m = _flatten_pad(x)
-        sums = _channel_sums(x_flat)
+        n, _, c = x_flat.shape
+        k = _fold_factor(m, c)
+        sums_kc = _channel_sums(x_flat.reshape(n, m // k, k * c))
+        sums = sums_kc.reshape(n, 2, k, c).sum(axis=2)
         mean_c, rstd_c = _group_stats(sums, m, num_groups, eps)
     else:
         n, c = x.shape[0], x.shape[-1]
@@ -232,13 +250,17 @@ def _bwd(num_groups, eps, act, residuals, dy):
     if _use_pallas():
         x_flat, _ = _flatten_pad(x)
         dy_flat, _ = _flatten_pad(dy)
-        sums = _bwd_channel_sums(
-            x_flat, dy_flat,
-            mean_c[:, None, :], rstd_c[:, None, :],
-            jnp.broadcast_to(gamma[None, None, :], (n, 1, c)).astype(jnp.float32),
-            jnp.broadcast_to(beta[None, None, :], (n, 1, c)).astype(jnp.float32),
+        k = _fold_factor(m, c)
+        tile_vec = lambda v: jnp.tile(v.astype(jnp.float32), (1, k))[:, None, :]  # (N, 1, k*C)
+        sums_kc = _bwd_channel_sums(
+            x_flat.reshape(n, m // k, k * c),
+            dy_flat.reshape(n, m // k, k * c),
+            tile_vec(mean_c), tile_vec(rstd_c),
+            jnp.tile(gamma.astype(jnp.float32)[None, :], (n, k))[:, None, :],
+            jnp.tile(beta.astype(jnp.float32)[None, :], (n, k))[:, None, :],
             act,
         )
+        sums = sums_kc.reshape(n, 2, k, c).sum(axis=2)
         c1 = sums[:, 0]  # (N, C): sum dz
         c2 = sums[:, 1]  # (N, C): sum dz * xhat
     else:

@@ -1,0 +1,112 @@
+"""On-device augmentation ops: paired-key consistency + semantic checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch3dunet_tpu.ops.augment import (
+    additive_gaussian_noise,
+    additive_poisson_noise,
+    elastic_deformation,
+    gaussian_blur,
+    paired_geometric,
+    random_contrast,
+    random_flip,
+    random_rotate90,
+)
+
+
+def _vol(c=1, seed=0, side=16):
+    return jnp.asarray(np.random.RandomState(seed).rand(8, side, side, c), dtype=jnp.float32)
+
+
+class TestPairedConsistency:
+    def test_flip_same_key(self):
+        x = _vol()
+        k = jax.random.PRNGKey(3)
+        np.testing.assert_array_equal(np.asarray(random_flip(k, x)), np.asarray(random_flip(k, x)))
+
+    def test_flip_changes_with_key(self):
+        x = _vol()
+        outs = {np.asarray(random_flip(jax.random.PRNGKey(i), x)).tobytes() for i in range(8)}
+        assert len(outs) > 1
+
+    def test_rot90_same_key(self):
+        x = _vol()
+        k = jax.random.PRNGKey(5)
+        np.testing.assert_array_equal(np.asarray(random_rotate90(k, x)), np.asarray(random_rotate90(k, x)))
+
+    def test_paired_geometric_raw_label_match(self):
+        vol = np.random.RandomState(1).rand(8, 16, 16, 1).astype(np.float32)
+        raw, label = jnp.asarray(vol), jnp.asarray(vol)
+        out_raw, out_label = paired_geometric(jax.random.PRNGKey(9), raw, label)
+        np.testing.assert_array_equal(np.asarray(out_raw), np.asarray(out_label))
+
+    def test_elastic_paired(self):
+        vol = np.random.RandomState(2).rand(8, 16, 16, 1).astype(np.float32)
+        k = jax.random.PRNGKey(11)
+        a = elastic_deformation(k, jnp.asarray(vol), spline_order=0, execution_probability=1.0,
+                                alpha=100, sigma=8)
+        b = elastic_deformation(k, jnp.asarray(vol), spline_order=0, execution_probability=1.0,
+                                alpha=100, sigma=8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSemantics:
+    def test_flip_is_volume_preserving(self):
+        x = _vol()
+        y = random_flip(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(float(jnp.sum(x)), float(jnp.sum(y)), rtol=1e-5)
+
+    def test_rot90_shape(self):
+        x = _vol()
+        y = random_rotate90(jax.random.PRNGKey(1), x)
+        assert y.shape == x.shape
+
+    def test_contrast_clips(self):
+        x = _vol() * 3
+        y = random_contrast(jax.random.PRNGKey(0), x, execution_probability=1.0)
+        assert float(jnp.max(y)) <= 1.0
+
+    def test_gaussian_noise_changes(self):
+        x = _vol()
+        y = additive_gaussian_noise(jax.random.PRNGKey(0), x, scale=(0.5, 0.5), execution_probability=1.0)
+        assert not np.allclose(np.asarray(x), np.asarray(y))
+
+    def test_poisson_noise_nonnegative_increment(self):
+        x = _vol()
+        y = additive_poisson_noise(jax.random.PRNGKey(0), x, lam=(3.0, 3.0), execution_probability=1.0)
+        assert float(jnp.min(y - x)) >= 0
+
+    def test_blur_smooths(self):
+        x = _vol()
+        y = gaussian_blur(jax.random.PRNGKey(0), x, sigma=(2.0, 2.0), execution_probability=1.0)
+        assert float(jnp.std(y)) < float(jnp.std(x))
+        assert abs(float(jnp.mean(y)) - float(jnp.mean(x))) < 0.02
+
+    def test_elastic_deforms(self):
+        x = _vol(side=32)
+        y = elastic_deformation(jax.random.PRNGKey(0), x, spline_order=1, execution_probability=1.0,
+                                alpha=200, sigma=8)
+        assert y.shape == x.shape
+        assert not np.allclose(np.asarray(x), np.asarray(y))
+
+    def test_elastic_label_values_preserved(self):
+        # order-0 resampling must not invent new label values
+        lab = np.random.RandomState(0).randint(0, 4, (8, 32, 32, 1)).astype(np.float32)
+        y = elastic_deformation(jax.random.PRNGKey(2), jnp.asarray(lab), spline_order=0,
+                                execution_probability=1.0, alpha=200, sigma=8)
+        assert set(np.unique(np.asarray(y))).issubset(set(np.unique(lab)))
+
+    def test_jit_compatible(self):
+        x = _vol()
+
+        @jax.jit
+        def pipeline(key, x):
+            k1, k2, k3 = jax.random.split(key, 3)
+            x = random_flip(k1, x)
+            x = random_rotate90(k2, x)
+            return additive_gaussian_noise(k3, x, execution_probability=1.0)
+
+        y = pipeline(jax.random.PRNGKey(0), x)
+        assert y.shape == x.shape
