@@ -69,7 +69,10 @@ class GroupNormAct(nn.Module):
 
 import os as _os
 
-_USE_FUSED_GN = _os.environ.get("P3DUNET_FUSED_GN", "1") == "1"
+# fused-GN Pallas kernels currently measure slower than XLA's native GN
+# lowering on v5e (15.0 vs 20.0 Mvox/s end-to-end); off by default until the
+# kernel wins (see ops/groupnorm.py)
+_USE_FUSED_GN = _os.environ.get("P3DUNET_FUSED_GN", "0") == "1"
 _USE_RESHAPE_POOL = _os.environ.get("P3DUNET_RESHAPE_POOL", "1") == "1"
 
 

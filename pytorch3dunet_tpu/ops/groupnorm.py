@@ -28,11 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False
 
 
-def _tile_m(m: int, c: int) -> int:
-    """Rows per grid step: big blocks (~4MB) keep the sequential grid short.
-    VMEM tiles pad the lane (minor) dim to 128, so budget with the padded width."""
+def _tile_m(m: int, c: int, budget_bytes: int = 1024 * 1024) -> int:
+    """Rows per grid step. VMEM tiles pad the lane (minor) dim to 128 and the
+    kernel keeps fp32 temporaries of the block, so the block budget stays well
+    under the 16MB scoped-vmem limit (double buffering + temps ~8x the block)."""
     lane_width = ((c + 127) // 128) * 128
-    budget = (4 * 1024 * 1024) // (2 * lane_width)
+    budget = budget_bytes // (2 * lane_width)
     tile = min(m, budget)
     return max(8, (tile // 8) * 8)
 
@@ -152,7 +153,7 @@ def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out
 
 def _bwd_channel_sums(x_flat, dy_flat, mean_c, rstd_c, gamma, beta, act):
     n, m_total, c = x_flat.shape
-    tm = _tile_m(m_total, c)
+    tm = _tile_m(m_total, c, budget_bytes=512 * 1024)
     grid = (n, pl.cdiv(m_total, tm))
     vec = lambda i, j: (i, 0, 0)  # noqa: E731
     return pl.pallas_call(
