@@ -22,8 +22,10 @@ def main():
         np.random.seed(manual_seed)
         # the jax PRNG key is derived from manual_seed inside the trainer
 
+    from pytorch3dunet_tpu.parallel.distributed import initialize_from_env
     from pytorch3dunet_tpu.trainer import create_trainer
 
+    initialize_from_env()  # multi-host: no-op unless P3DUNET_COORDINATOR is set
     trainer = create_trainer(config)
     copy_config(config, config_path)
     trainer.fit()

@@ -69,6 +69,24 @@ def conv3d_as_2d(x, w, s):
     return out.reshape(N, D, H, W, -1)
 
 
+def conv3d_packed(x, w, s):
+    # one conv2d with kd*Cout output channels, then shifted-slice add:
+    # identical FLOPs, 3x the lane packing for small Cout
+    N, D, H, W, C = x.shape
+    kd = w.shape[0]
+    F = w.shape[-1]
+    x = x + s.astype(DT)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    w_cat = jnp.moveaxis(w, 0, 3).reshape(3, 3, C, kd * F)
+    o = jax.lax.conv_general_dilated(
+        xp.reshape(N * (D + 2), H, W, C), w_cat, (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    o = o.reshape(N, D + 2, H, W, kd, F)
+    out = o[:, 0:D, :, :, 0, :] + o[:, 1:D+1, :, :, 1, :] + o[:, 2:D+2, :, :, 2, :]
+    return out
+
+
 def wgrad(convfn, x, w, s):
     def loss(w):
         return jnp.sum(convfn(x, w, s).astype(jnp.float32) * 1e-6)
@@ -97,6 +115,11 @@ def main(which):
             dt = timeit(conv3d_as_2d, (x, w), label=f"{name} as-2d fwd")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
             dt = timeit(lambda x, w, s: wgrad(conv3d_as_2d, x, w, s), (x, w), n=10, label=f"{name} as-2d wgrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "packed" in which:
+            dt = timeit(conv3d_packed, (x, w), label=f"{name} packed fwd")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+            dt = timeit(lambda x, w, s: wgrad(conv3d_packed, x, w, s), (x, w), n=10, label=f"{name} packed wgrad")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
         if "ncdhw" in which:
             xt = jnp.moveaxis(x, -1, 1)
