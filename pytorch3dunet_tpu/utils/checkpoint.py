@@ -107,14 +107,45 @@ def save_checkpoint(state: dict, is_best: bool, checkpoint_dir: str):
         shutil.copyfile(last_file_path, os.path.join(checkpoint_dir, BEST_CHECKPOINT))
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    """Distinguishes a torch zip checkpoint from our npz format (both are zips)."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+        return any(n.endswith("data.pkl") for n in names) and "__meta__.npy" not in names
+    except zipfile.BadZipFile:
+        return False
+
+
 def load_checkpoint(checkpoint_path: str, variables_template=None, opt_state_template=None) -> dict:
     """Loads a checkpoint; restores pytrees against the provided templates.
 
-    Returns the state dict with 'model_state_dict' (and 'optimizer_state_dict'
-    when a template is given) replaced by restored pytrees.
+    Accepts both this framework's npz checkpoints and reference torch
+    `.pytorch` checkpoints (auto-detected; weights converted via
+    utils/torch_interop — the fine-tune/pretrained workflow of README.md:197-224
+    in the reference works with published checkpoints).
     """
     if not os.path.exists(checkpoint_path):
         raise OSError(f"Checkpoint '{checkpoint_path}' does not exist")
+
+    if _is_torch_checkpoint(checkpoint_path):
+        from pytorch3dunet_tpu.utils.torch_interop import load_torch_checkpoint_as_variables
+
+        logger.info(f"Detected torch checkpoint format: {checkpoint_path}")
+        variables = load_torch_checkpoint_as_variables(checkpoint_path)
+        if variables_template is not None:
+            # keep non-param collections (e.g. batch_stats) from the template
+            merged = dict(variables_template)
+            merged["params"] = variables["params"]
+            variables = merged
+        return {
+            "model_state_dict": variables,
+            "num_epochs": 0,
+            "num_iterations": 1,
+            "best_eval_score": None,
+        }
 
     with open(checkpoint_path, "rb") as f:
         state = bytes_to_state(f.read())
