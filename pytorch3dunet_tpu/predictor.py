@@ -290,9 +290,16 @@ class DSB2018Predictor(AbstractPredictor):
                 return probs
 
             self._forward_fn = jax.jit(fwd)
-        inp = np.moveaxis(np.asarray(img, dtype=np.float32), 1, -1)
-        probs = self._forward_fn(self.variables, inp)
-        return np.moveaxis(np.asarray(probs), -1, 1)
+        img = np.asarray(img, dtype=np.float32)
+        had_depth = img.ndim == 5
+        if had_depth:
+            # (N, C, 1, H, W) from the singleton-z 2D convention
+            img = np.squeeze(img, axis=2)
+        inp = np.moveaxis(img, 1, -1)
+        probs = np.moveaxis(np.asarray(self._forward_fn(self.variables, inp)), -1, 1)
+        if had_depth:
+            probs = probs[:, :, None]
+        return probs
 
 
 def dsb_save_batch(output_dir, paths, pred, save_segmentation=True, pmaps_thershold=0.5):

@@ -1,0 +1,84 @@
+"""DSB2018 dataset + predictor end-to-end tests (PNG image folders)."""
+
+import os
+
+import h5py
+import imageio.v2 as imageio
+import jax
+import numpy as np
+
+from pytorch3dunet_tpu.datasets.dsb import DSB2018Dataset, dsb_prediction_collate
+from pytorch3dunet_tpu.datasets.loader import DataLoader
+from pytorch3dunet_tpu.models import get_model
+from pytorch3dunet_tpu.predictor import DSB2018Predictor
+
+
+def _make_dsb_folder(tmpdir, phase_dir, n=3, with_masks=True):
+    root = os.path.join(str(tmpdir), phase_dir)
+    os.makedirs(os.path.join(root, "images"))
+    rs = np.random.RandomState(0)
+    for i in range(n):
+        img = (rs.rand(64, 64) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(root, "images", f"img{i}.png"), img)
+    if with_masks:
+        os.makedirs(os.path.join(root, "masks"))
+        for i in range(n):
+            mask = (rs.rand(64, 64) > 0.5).astype(np.uint8) * 255
+            imageio.imwrite(os.path.join(root, "masks", f"img{i}.png"), mask)
+    return root
+
+
+TRANSFORMER = {
+    "raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}],
+    "label": [{"name": "ToTensor", "expand_dims": True, "normalize": True}],
+}
+
+
+class TestDSBDataset:
+    def test_train_phase(self, tmpdir):
+        root = _make_dsb_folder(tmpdir, "train")
+        ds = DSB2018Dataset(root, "train", TRANSFORMER)
+        assert len(ds) == 3
+        img, mask = ds[0]
+        # singleton-z 2D convention: (C, 1, H, W) after expand_dims + ToTensor
+        assert img.shape == (1, 1, 64, 64)
+        assert mask.shape == img.shape
+
+    def test_test_phase_returns_paths(self, tmpdir):
+        root = _make_dsb_folder(tmpdir, "test", with_masks=False)
+        ds = DSB2018Dataset(root, "test", {"raw": TRANSFORMER["raw"]})
+        img, path = ds[0]
+        assert isinstance(path, str) and path.endswith(".png")
+
+    def test_collate(self, tmpdir):
+        root = _make_dsb_folder(tmpdir, "coll", with_masks=False)
+        ds = DSB2018Dataset(root, "test", {"raw": TRANSFORMER["raw"]})
+        batch = dsb_prediction_collate([ds[0], ds[1]])
+        imgs, paths = batch
+        assert imgs.shape[0] == 2
+        assert len(paths) == 2
+
+
+class TestDSBPredictor:
+    def test_end_to_end(self, tmpdir):
+        root = _make_dsb_folder(tmpdir, "pred", with_masks=False)
+        out_dir = os.path.join(str(tmpdir), "out")
+        os.makedirs(out_dir)
+
+        model = get_model({"name": "UNet2D", "in_channels": 1, "out_channels": 1,
+                           "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": True})
+        variables = model.init(jax.random.PRNGKey(0))
+
+        ds = DSB2018Dataset(root, "test", {"raw": TRANSFORMER["raw"]})
+        loader = DataLoader(ds, batch_size=2, collate_fn=ds.prediction_collate)
+
+        predictor = DSB2018Predictor(model, variables, out_dir, device="cpu")
+        predictor(loader)
+
+        outputs = [f for f in os.listdir(out_dir) if f.endswith("_predictions.h5")]
+        assert len(outputs) == 3
+        with h5py.File(os.path.join(out_dir, outputs[0]), "r") as f:
+            assert "predictions" in f
+            assert "segmentation" in f
+            assert f["predictions"].shape == (64, 64)
+            assert f["segmentation"].dtype == np.uint16
