@@ -69,6 +69,22 @@ def conv3d_as_2d(x, w, s):
     return out.reshape(N, D, H, W, -1)
 
 
+def conv3d_outslice(x, w, s):
+    # conv the full padded batch per tap; slice the OUTPUT (fusable) instead of
+    # materializing three shifted input copies
+    N, D, H, W, C = x.shape
+    x = x + s.astype(DT)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).reshape(N * (D + 2), H, W, C)
+    out = None
+    for dz in range(3):
+        o = jax.lax.conv_general_dilated(
+            xp, w[dz], (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(N, D + 2, H, W, -1)[:, dz : dz + D]
+        out = o if out is None else out + o
+    return out
+
+
 def conv3d_packed(x, w, s):
     # one conv2d with kd*Cout output channels, then shifted-slice add:
     # identical FLOPs, 3x the lane packing for small Cout
@@ -115,6 +131,11 @@ def main(which):
             dt = timeit(conv3d_as_2d, (x, w), label=f"{name} as-2d fwd")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
             dt = timeit(lambda x, w, s: wgrad(conv3d_as_2d, x, w, s), (x, w), n=10, label=f"{name} as-2d wgrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "outslice" in which:
+            dt = timeit(conv3d_outslice, (x, w), label=f"{name} outslice fwd")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+            dt = timeit(lambda x, w, s: wgrad(conv3d_outslice, x, w, s), (x, w), n=10, label=f"{name} outslice wgrad")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
         if "packed" in which:
             dt = timeit(conv3d_packed, (x, w), label=f"{name} packed fwd")
