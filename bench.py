@@ -17,7 +17,11 @@ derivation). vs_baseline = measured voxels/sec / 23e6.
 """
 
 import json
+import os
 import time
+
+# stdout carries exactly one JSON line; all framework logging goes to stderr
+os.environ.setdefault("P3DUNET_LOG_STDERR", "1")
 
 import jax
 import jax.numpy as jnp

@@ -1,18 +1,40 @@
-"""Thread-based batch loader with background prefetch.
+"""Batch loader with background prefetch (thread or process workers).
 
 Replaces the reference's multi-process torch DataLoader
-(pytorch3dunet/datasets/utils.py:408-422) with a thread pool: HDF5 reads and
-the heavy numpy/scipy augmentations release the GIL, so threads overlap the
-host pipeline with device compute without process-spawn/pickling overhead —
-and the arrays they produce can be fed straight to `jax.device_put` without a
-worker->main copy.
+(pytorch3dunet/datasets/utils.py:408-422). Two worker modes:
+
+- 'thread': zero-copy handoff into `jax.device_put`; right for cheap
+  pipelines (test-time Standardize+ToTensor, light augmentation).
+- 'process': fork workers that each hold their own dataset replica; right for
+  the heavy scipy augmentations (ElasticDeformation ~1-3 s/patch holds the
+  GIL, so threads serialize — measured 0.8 Mvox/s single-thread and *worse*
+  with more threads, vs a ~20 Mvox/s device appetite).
+
+The default is chosen per loader: processes when num_workers > 1 and the
+platform supports fork, threads otherwise (`worker_mode` overrides).
 """
 
 import math
+import os
+import sys
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# each forked worker re-binds the dataset once (picked up by _process_fetch)
+_WORKER_DATASET = None
+
+
+def _init_process_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    # re-seed numpy per worker so augmentations decorrelate across processes
+    np.random.seed((os.getpid() * 7919) % (2**31))
+
+
+def _process_fetch(indices):
+    return [_WORKER_DATASET[int(i)] for i in indices]
 
 
 class ConcatDataset:
@@ -54,7 +76,7 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=1, collate_fn=None,
-                 drop_last=False, prefetch_batches=None, seed=None):
+                 drop_last=False, prefetch_batches=None, seed=None, worker_mode=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,6 +85,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches or (self.num_workers + 2)
         self._rng = np.random.RandomState(seed)
+        if worker_mode is None:
+            worker_mode = "process" if (self.num_workers > 1 and sys.platform.startswith("linux")) else "thread"
+        assert worker_mode in ("thread", "process")
+        self.worker_mode = worker_mode
 
     def __len__(self):
         n = len(self.dataset)
@@ -83,17 +109,35 @@ class DataLoader:
 
     def __iter__(self):
         batches = self._batch_indices()
-        with ThreadPoolExecutor(max_workers=self.num_workers, thread_name_prefix="loader") as executor:
+        if self.worker_mode == "process":
+            import multiprocessing
+
+            executor = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_process_worker,
+                initargs=(self.dataset,),
+            )
+            submit = lambda idx: executor.submit(_process_fetch, list(map(int, idx)))  # noqa: E731
+            finalize = self.collate_fn  # collate in the parent (results are raw samples)
+        else:
+            executor = ThreadPoolExecutor(max_workers=self.num_workers, thread_name_prefix="loader")
+            submit = lambda idx: executor.submit(self._fetch, idx)  # noqa: E731
+            finalize = None
+
+        try:
             window: deque = deque()
             try:
                 for _ in range(self.prefetch_batches):
-                    window.append(executor.submit(self._fetch, next(batches)))
+                    window.append(submit(next(batches)))
             except StopIteration:
                 pass
             while window:
                 result = window.popleft().result()
                 try:
-                    window.append(executor.submit(self._fetch, next(batches)))
+                    window.append(submit(next(batches)))
                 except StopIteration:
                     pass
-                yield result
+                yield finalize(result) if finalize is not None else result
+        finally:
+            executor.shutdown(wait=False, cancel_futures=True)

@@ -325,9 +325,11 @@ def get_test_loaders(config: dict):
     batch_size = _scaled_batch_size(loaders_config, config)
     logger.info(f"Batch size for dataloader: {batch_size}")
 
+    worker_mode = loaders_config.get("worker_mode", None)
     for test_dataset in test_datasets:
         collate_fn = getattr(test_dataset, "prediction_collate", default_prediction_collate)
-        yield DataLoader(test_dataset, batch_size=batch_size, num_workers=num_workers, collate_fn=collate_fn)
+        yield DataLoader(test_dataset, batch_size=batch_size, num_workers=num_workers, collate_fn=collate_fn,
+                         worker_mode=worker_mode)
 
 
 def default_prediction_collate(batch: list) -> Any:

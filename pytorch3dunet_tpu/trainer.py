@@ -254,6 +254,12 @@ class UNetTrainer:
                     return
                 self.num_epochs += 1
             logger.info(f"Reached maximum number of epochs: {self.max_num_epochs}. Finishing training...")
+        except KeyboardInterrupt:
+            # interruption-safe: persist progress so the run can resume
+            if self.variables is not None:
+                logger.info("Interrupted: saving checkpoint before exiting")
+                self._save_checkpoint(is_best=False)
+            raise
         finally:
             if self._profiling:
                 jax.profiler.stop_trace()

@@ -6,6 +6,7 @@ RunningAverage, number_of_features_per_level, get_class).
 
 import importlib
 import logging
+import os
 import sys
 
 import numpy as np
@@ -14,12 +15,17 @@ _loggers: dict[str, logging.Logger] = {}
 
 
 def get_logger(name: str, level=logging.INFO) -> logging.Logger:
-    """Initializes and returns a cached logger with the given name."""
+    """Initializes and returns a cached logger with the given name.
+
+    Logs go to stdout (reference behavior); set P3DUNET_LOG_STDERR=1 to route
+    them to stderr (e.g. when stdout must carry machine-readable output).
+    """
     if name in _loggers:
         return _loggers[name]
     logger = logging.getLogger(name)
     logger.setLevel(level)
-    stream_handler = logging.StreamHandler(sys.stdout)
+    stream = sys.stderr if os.environ.get("P3DUNET_LOG_STDERR") else sys.stdout
+    stream_handler = logging.StreamHandler(stream)
     formatter = logging.Formatter("%(asctime)s [%(threadName)s] %(levelname)s %(name)s - %(message)s")
     stream_handler.setFormatter(formatter)
     logger.addHandler(stream_handler)
