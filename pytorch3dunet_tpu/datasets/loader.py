@@ -84,6 +84,10 @@ class DataLoader:
         self.collate_fn = collate_fn or default_collate
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches or (self.num_workers + 2)
+        if seed is None:
+            # derive from the global RNG so `manual_seed` makes shuffling
+            # deterministic (reference parity with torch's seeded generators)
+            seed = int(np.random.randint(0, 2**31 - 1))
         self._rng = np.random.RandomState(seed)
         if worker_mode is None:
             worker_mode = "process" if (self.num_workers > 1 and sys.platform.startswith("linux")) else "thread"

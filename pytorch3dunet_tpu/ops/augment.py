@@ -159,3 +159,120 @@ def paired_geometric(key, raw, label, axis_prob: float = 0.5, rot90: bool = True
         raw = random_rotate90(kr, raw)
         label = random_rotate90(kr, label)
     return raw, label
+
+
+# ---------------------------------------------------------------------------
+# config-driven device augmentation (loaders.device_augment: true)
+# ---------------------------------------------------------------------------
+
+# transforms that can move from the host pipeline onto the device
+DEVICE_MOVABLE = {
+    "RandomFlip", "RandomRotate90", "ElasticDeformation",
+    "AdditiveGaussianNoise", "AdditivePoissonNoise", "GaussianBlur3D", "RandomContrast",
+}
+_PAIRED = {"RandomFlip", "RandomRotate90", "ElasticDeformation"}
+
+
+def split_device_transforms(loaders_config: dict):
+    """Strips device-movable transforms from the train transformer config and
+    returns the device-augmentation spec (or None when disabled).
+
+    The geometric transforms (flip/rot90/elastic) are applied identically to
+    raw and label on device; intensity/noise transforms apply to raw only.
+    Note the device transforms run AFTER the remaining host transforms (e.g.
+    label engineering) — an intentional, documented reordering of the host
+    pipeline that preserves the augmentation distribution.
+    """
+    if not loaders_config.get("device_augment", False):
+        return None
+    train_tf = loaders_config["train"]["transformer"]
+    spec = {"paired": [], "raw_only": []}
+    label_names = {t["name"] for t in train_tf.get("label", [])}
+
+    kept_raw = []
+    for t in train_tf.get("raw", []):
+        if t["name"] in DEVICE_MOVABLE:
+            if t["name"] in _PAIRED and t["name"] in label_names:
+                label_cfg = next(lt for lt in train_tf["label"] if lt["name"] == t["name"])
+                spec["paired"].append({"raw": dict(t), "label": dict(label_cfg)})
+            else:
+                spec["raw_only"].append(dict(t))
+        else:
+            kept_raw.append(t)
+    train_tf["raw"] = kept_raw
+    train_tf["label"] = [t for t in train_tf.get("label", []) if t["name"] not in DEVICE_MOVABLE]
+    return spec
+
+
+class DeviceAugmenter:
+    """Applies a split_device_transforms spec to a channels-last batch on
+    device (jit + vmap over per-sample keys)."""
+
+    def __init__(self, spec: dict):
+        self.spec = spec
+        self._fn = None
+
+    def _build(self, square_hw: bool, label_is_int: bool):
+        spec = self.spec
+
+        def augment_one(key, raw, label):
+            for entry in spec["paired"]:
+                name = entry["raw"]["name"]
+                key, k = jax.random.split(key)
+                if name == "RandomFlip":
+                    prob = entry["raw"].get("axis_prob", 0.5)
+                    raw = random_flip(k, raw, prob)
+                    label = random_flip(k, label, prob)
+                elif name == "RandomRotate90":
+                    if square_hw:
+                        raw = random_rotate90(k, raw)
+                        label = random_rotate90(k, label)
+                elif name == "ElasticDeformation":
+                    cfg = entry["raw"]
+                    kwargs = dict(
+                        alpha=cfg.get("alpha", 2000), sigma=cfg.get("sigma", 50),
+                        execution_probability=cfg.get("execution_probability", 0.1),
+                        apply_3d=cfg.get("apply_3d", True),
+                    )
+                    raw = elastic_deformation(k, raw, spline_order=1, **kwargs)
+                    lab_f = label.astype(jnp.float32)
+                    lab_f = elastic_deformation(k, lab_f, spline_order=0, **kwargs)
+                    label = lab_f.astype(label.dtype) if label_is_int else lab_f
+
+            for cfg in spec["raw_only"]:
+                key, k = jax.random.split(key)
+                name = cfg["name"]
+                if name == "AdditiveGaussianNoise":
+                    raw = additive_gaussian_noise(k, raw, tuple(cfg.get("scale", (0.0, 1.0))),
+                                                  cfg.get("execution_probability", 0.1))
+                elif name == "AdditivePoissonNoise":
+                    raw = additive_poisson_noise(k, raw, tuple(cfg.get("lam", (0.0, 1.0))),
+                                                 cfg.get("execution_probability", 0.1))
+                elif name == "GaussianBlur3D":
+                    raw = gaussian_blur(k, raw, tuple(cfg.get("sigma", (0.1, 2.0))),
+                                        cfg.get("execution_probability", 0.5))
+                elif name == "RandomContrast":
+                    raw = random_contrast(k, raw, tuple(cfg.get("alpha", (0.5, 1.5))),
+                                          cfg.get("mean", 0.0), cfg.get("execution_probability", 0.1))
+                elif name == "RandomFlip":
+                    raw = random_flip(k, raw, cfg.get("axis_prob", 0.5))
+                elif name == "RandomRotate90" and square_hw:
+                    raw = random_rotate90(k, raw)
+                elif name == "ElasticDeformation":
+                    raw = elastic_deformation(k, raw, spline_order=1,
+                                              alpha=cfg.get("alpha", 2000), sigma=cfg.get("sigma", 50),
+                                              execution_probability=cfg.get("execution_probability", 0.1),
+                                              apply_3d=cfg.get("apply_3d", True))
+            return raw, label
+
+        return jax.jit(jax.vmap(augment_one))
+
+    def __call__(self, key, raw_batch, label_batch):
+        """raw_batch: (N, D, H, W, C); label_batch: same layout (or int class map
+        with a trailing channel added by the caller)."""
+        square = raw_batch.shape[2] == raw_batch.shape[3]
+        label_is_int = jnp.issubdtype(label_batch.dtype, jnp.integer)
+        if self._fn is None:
+            self._fn = self._build(square, label_is_int)
+        keys = jax.random.split(key, raw_batch.shape[0])
+        return self._fn(keys, raw_batch, label_batch)

@@ -1,13 +1,16 @@
 """Fused GroupNorm(+activation) with Pallas reduction kernels and a custom VJP.
 
-Why: XLA lowers the GroupNorm statistics (bf16 -> fp32 sum reductions over the
-channel-minor layout) to slow `convert_reduce` fusions — ~5 ms for one
-full-resolution tensor in the UNet3D train step (v5e trace), and the backward
-pass adds equivalent reductions for dgamma/dbeta and the group means. Here a
-single-pass Pallas kernel computes per-channel {sum, sum-of-squares} (forward)
-and {sum dz, sum dz*xhat} (backward) in fp32 while streaming the bf16 tensor
-once; group statistics then reduce over the tiny (C,) vectors, and the
-remaining elementwise math stays in jnp where XLA fuses it into neighbors.
+Why: XLA lowers the GroupNorm statistics (bf16 -> fp32 sum reductions) and the
+backward dgamma/dbeta reductions to slow convert_reduce fusions (~6.6 ms/step
+in the UNet3D train step on v5e). The Pallas kernels here stream the tensor
+once in its NATIVE (N, D, H, W, C) layout — an earlier flattened (N, M, C)
+variant triggered ~30 ms/step of HBM re-tiling copies, so the kernels now
+block over (D, H) directly and no reshape ever touches the big tensor.
+
+Forward kernel: per-channel {sum, sum-of-squares}. Backward kernel:
+per-channel {sum dz, sum dz*xhat} with dz = dy * act'(z) recomputed on the
+fly. Group statistics reduce over the tiny (C,) vectors in jnp; all remaining
+elementwise math stays in jnp where XLA fuses it into neighbors.
 
 The optional fused activation covers the `cge`/`cgr`/`cgl` layer orders where
 an activation directly follows the norm; `gcr` uses act='none'.
@@ -26,27 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 # tests flip this to exercise the Pallas kernels in interpreter mode on CPU
 _INTERPRET = False
-
-
-def _tile_m(m: int, c: int, budget_bytes: int = 1024 * 1024) -> int:
-    """Rows per grid step. VMEM tiles pad the lane (minor) dim to 128 and the
-    kernel keeps fp32 temporaries of the block, so the block budget stays well
-    under the 16MB scoped-vmem limit (double buffering + temps ~8x the block)."""
-    lane_width = ((c + 127) // 128) * 128
-    budget = budget_bytes // (2 * lane_width)
-    tile = min(m, budget)
-    return max(8, (tile // 8) * 8)
-
-
-def _fold_factor(m: int, c: int) -> int:
-    """Folds k spatial rows into the lane dim when C < 128: (M, C) ->
-    (M/k, k*C) fills the 128 lanes instead of padding them."""
-    if c >= 128:
-        return 1
-    k = 1
-    while k * 2 <= 128 // c and m % (k * 2) == 0:
-        k *= 2
-    return k
 
 
 def _act_fn(act: str):
@@ -78,111 +60,109 @@ def _act_grad_mask(act: str, z):
     raise ValueError(f"unknown act: {act}")
 
 
+def _use_pallas():
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+def _choose_th(h: int, w: int, c: int, budget_bytes: int):
+    """Rows of H per block: a divisor of H keeping the VMEM block under budget
+    (lane dim padded to 128, sublane dim W padded to 8)."""
+    lane = ((c + 127) // 128) * 128
+    w_pad = ((w + 7) // 8) * 8
+    per_row = 2 * w_pad * lane
+    cap = max(1, budget_bytes // per_row)
+    for th in range(min(h, cap), 0, -1):
+        if h % th == 0:
+            return th
+    return None
+
+
 # ---------------------------------------------------------------------------
-# Pallas reduction kernels
+# Pallas reduction kernels (native 5D layout, grid over N x D x H-tiles)
 # ---------------------------------------------------------------------------
 
 
-def _sums_kernel(x_ref, out_ref, acc_ref, *, m_total, tile_m):
-    """Per-channel sum and sum-of-squares over the flattened spatial axis."""
-    m = pl.program_id(1)
+def _sums_kernel(x_ref, out_ref, acc_ref):
+    d = pl.program_id(1)
+    h = pl.program_id(2)
 
-    @pl.when(m == 0)
+    @pl.when((d == 0) & (h == 0))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    xb = x_ref[0].astype(jnp.float32)  # (TM, C)
-    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * tile_m
-    xb = jnp.where(rows < m_total, xb, 0.0)
-    acc_ref[0:1, :] += jnp.sum(xb, axis=0, keepdims=True)
-    acc_ref[1:2, :] += jnp.sum(xb * xb, axis=0, keepdims=True)
+    xb = x_ref[0, 0].astype(jnp.float32)  # (TH, W, C)
+    acc_ref[0:1, :] += jnp.sum(xb, axis=(0, 1))[None, :]
+    acc_ref[1:2, :] += jnp.sum(xb * xb, axis=(0, 1))[None, :]
 
-    @pl.when(m == pl.num_programs(1) - 1)
+    @pl.when((d == pl.num_programs(1) - 1) & (h == pl.num_programs(2) - 1))
     def _():
         out_ref[0] = acc_ref[...]
 
 
-def _channel_sums(x_flat):
-    """x_flat: (N, M, C); returns (N, 2, C) fp32 [sum, sumsq] per channel
-    (out-of-range rows of the ragged last block are masked)."""
-    n, m_total, c = x_flat.shape
-    tm = _tile_m(m_total, c)
-    grid = (n, pl.cdiv(m_total, tm))
+def _channel_sums(x):
+    """x: (N, D, H, W, C) -> (N, 2, C) fp32 [sum, sumsq] per channel."""
+    n, d, h, w, c = x.shape
+    th = _choose_th(h, w, c, budget_bytes=1024 * 1024)
+    if th is None:
+        return None
+    grid = (n, d, h // th)
     return pl.pallas_call(
-        partial(_sums_kernel, m_total=m_total, tile_m=tm),
+        _sums_kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0))],
-        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        in_specs=[pl.BlockSpec((1, 1, th, w, c), lambda i, j, k: (i, j, k, 0, 0))],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j, k: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=_INTERPRET,
-    )(x_flat)
+    )(x)
 
 
-def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out_ref, acc_ref, *, act, m_total, tile_m):
-    """Per-channel sum(dz) and sum(dz * xhat); dz = dy * act'(z)."""
-    m = pl.program_id(1)
+def _bwd_sums_kernel(x_ref, dy_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, out_ref, acc_ref, *, act):
+    d = pl.program_id(1)
+    h = pl.program_id(2)
 
-    @pl.when(m == 0)
+    @pl.when((d == 0) & (h == 0))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    xb = x_ref[0].astype(jnp.float32)  # (TM, C)
-    dyb = dy_ref[0].astype(jnp.float32)
-    mean = mean_ref[0]  # (1, C) group stats broadcast per channel
-    rstd = rstd_ref[0]
-    gamma = gamma_ref[0]
-    beta = beta_ref[0]
+    xb = x_ref[0, 0].astype(jnp.float32)  # (TH, W, C)
+    dyb = dy_ref[0, 0].astype(jnp.float32)
+    mean = mean_ref[0][None, :]  # broadcast (C,) over (TH, W)
+    rstd = rstd_ref[0][None, :]
+    gamma = gamma_ref[0][None, :]
+    beta = beta_ref[0][None, :]
 
     xhat = (xb - mean) * rstd
     z = xhat * gamma + beta
     dz = dyb * _act_grad_mask(act, z)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0) + m * tile_m
-    valid = rows < m_total
-    dz = jnp.where(valid, dz, 0.0)
-    xhat = jnp.where(valid, xhat, 0.0)
+    acc_ref[0:1, :] += jnp.sum(dz, axis=(0, 1))[None, :]
+    acc_ref[1:2, :] += jnp.sum(dz * xhat, axis=(0, 1))[None, :]
 
-    acc_ref[0:1, :] += jnp.sum(dz, axis=0, keepdims=True)
-    acc_ref[1:2, :] += jnp.sum(dz * xhat, axis=0, keepdims=True)
-
-    @pl.when(m == pl.num_programs(1) - 1)
+    @pl.when((d == pl.num_programs(1) - 1) & (h == pl.num_programs(2) - 1))
     def _():
         out_ref[0] = acc_ref[...]
 
 
-def _bwd_channel_sums(x_flat, dy_flat, mean_c, rstd_c, gamma, beta, act):
-    n, m_total, c = x_flat.shape
-    tm = _tile_m(m_total, c, budget_bytes=512 * 1024)
-    grid = (n, pl.cdiv(m_total, tm))
-    vec = lambda i, j: (i, 0, 0)  # noqa: E731
+def _bwd_channel_sums(x, dy, mean_c, rstd_c, gamma, beta, act):
+    """x, dy: (N, D, H, W, C); mean_c/rstd_c/gamma/beta: (N, C).
+    Returns (N, 2, C) fp32 [sum dz, sum dz*xhat]."""
+    n, d, h, w, c = x.shape
+    th = _choose_th(h, w, c, budget_bytes=512 * 1024)
+    if th is None:
+        return None
+    grid = (n, d, h // th)
+    big = pl.BlockSpec((1, 1, th, w, c), lambda i, j, k: (i, j, k, 0, 0))
+    vec = pl.BlockSpec((1, c), lambda i, j, k: (i, 0))
     return pl.pallas_call(
-        partial(_bwd_sums_kernel, act=act, m_total=m_total, tile_m=tm),
+        partial(_bwd_sums_kernel, act=act),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, tm, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, c), vec),
-            pl.BlockSpec((1, 1, c), vec),
-            pl.BlockSpec((1, 1, c), vec),
-            pl.BlockSpec((1, 1, c), vec),
-        ],
-        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        in_specs=[big, big, vec, vec, vec, vec],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j, k: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=_INTERPRET,
-    )(x_flat, dy_flat, mean_c, rstd_c, gamma, beta)
-
-
-def _use_pallas():
-    return _INTERPRET or jax.default_backend() == "tpu"
-
-
-def _flatten_pad(x):
-    """(N, *spatial, C) -> (N, M, C); ragged tiles are masked in the kernels."""
-    n, c = x.shape[0], x.shape[-1]
-    m = int(np.prod(x.shape[1:-1]))
-    return x.reshape(n, m, c), m
+    )(x, dy, mean_c, rstd_c, gamma, beta)
 
 
 # ---------------------------------------------------------------------------
@@ -190,19 +170,45 @@ def _flatten_pad(x):
 # ---------------------------------------------------------------------------
 
 
-def _group_stats(channel_sums, m, num_groups, eps):
-    """(N, 2, C) channel sums -> per-channel mean/rstd broadcast vectors."""
-    n, _, c = channel_sums.shape
+def _as_5d(x):
+    """Canonicalizes (N, *spatial, C) to (N, D, H, W, C); for the supported
+    model ranks this is metadata-only (no data movement)."""
+    if x.ndim == 5:
+        return x
+    n, c = x.shape[0], x.shape[-1]
+    if x.ndim == 4:  # (N, H, W, C) -> depth 1
+        return x.reshape(n, 1, x.shape[1], x.shape[2], c)
+    m = int(np.prod(x.shape[1:-1]))
+    return x.reshape(n, 1, 1, m, c)
+
+
+def _jnp_stats(x, num_groups, eps):
+    n, c = x.shape[0], x.shape[-1]
+    m = int(np.prod(x.shape[1:-1]))
     cg = c // num_groups
-    grouped = channel_sums.reshape(n, 2, num_groups, cg).sum(axis=3)  # (N, 2, G)
-    count = m * cg
-    mean_g = grouped[:, 0] / count
-    var_g = grouped[:, 1] / count - mean_g * mean_g
+    xf = x.reshape(n, m, num_groups, cg).astype(jnp.float32)
+    mean_g = xf.mean(axis=(1, 3))
+    var_g = jnp.square(xf).mean(axis=(1, 3)) - mean_g**2
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast group stats to channels
-    mean_c = jnp.repeat(mean_g, cg, axis=1)
-    rstd_c = jnp.repeat(rstd_g, cg, axis=1)
-    return mean_c, rstd_c  # (N, C)
+    return jnp.repeat(mean_g, cg, axis=1), jnp.repeat(rstd_g, cg, axis=1)
+
+
+def _stats(x, num_groups, eps):
+    """Returns per-channel (mean_c, rstd_c), each (N, C) fp32."""
+    c = x.shape[-1]
+    cg = c // num_groups
+    if _use_pallas():
+        sums = _channel_sums(_as_5d(x))
+        if sums is not None:
+            n = x.shape[0]
+            m = int(np.prod(x.shape[1:-1]))
+            grouped = sums.reshape(n, 2, num_groups, cg).sum(axis=3)
+            count = m * cg
+            mean_g = grouped[:, 0] / count
+            var_g = grouped[:, 1] / count - mean_g * mean_g
+            rstd_g = jax.lax.rsqrt(var_g + eps)
+            return jnp.repeat(mean_g, cg, axis=1), jnp.repeat(rstd_g, cg, axis=1)
+    return _jnp_stats(x, num_groups, eps)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -213,27 +219,10 @@ def group_norm_act(x, gamma, beta, num_groups, eps=1e-5, act="none"):
 
 
 def _fwd(x, gamma, beta, num_groups, eps, act):
-    orig_shape = x.shape
-    if _use_pallas():
-        x_flat, m = _flatten_pad(x)
-        n, _, c = x_flat.shape
-        k = _fold_factor(m, c)
-        sums_kc = _channel_sums(x_flat.reshape(n, m // k, k * c))
-        sums = sums_kc.reshape(n, 2, k, c).sum(axis=2)
-        mean_c, rstd_c = _group_stats(sums, m, num_groups, eps)
-    else:
-        n, c = x.shape[0], x.shape[-1]
-        m = int(np.prod(x.shape[1:-1]))
-        xf = x.reshape(n, m, num_groups, c // num_groups).astype(jnp.float32)
-        mean_g = xf.mean(axis=(1, 3))
-        var_g = jnp.square(xf).mean(axis=(1, 3)) - mean_g**2
-        rstd_g = jax.lax.rsqrt(var_g + eps)
-        cg = c // num_groups
-        mean_c = jnp.repeat(mean_g, cg, axis=1)
-        rstd_c = jnp.repeat(rstd_g, cg, axis=1)
+    mean_c, rstd_c = _stats(x, num_groups, eps)
 
     # elementwise apply: XLA fuses this into the surrounding ops
-    bshape = (x.shape[0],) + (1,) * (len(orig_shape) - 2) + (x.shape[-1],)
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
     scale = (rstd_c * gamma[None, :]).reshape(bshape)
     shift = (beta[None, :] - mean_c * rstd_c * gamma[None, :]).reshape(bshape)
     z = x.astype(jnp.float32) * scale + shift
@@ -243,25 +232,19 @@ def _fwd(x, gamma, beta, num_groups, eps, act):
 
 def _bwd(num_groups, eps, act, residuals, dy):
     x, gamma, beta, mean_c, rstd_c = residuals
-    orig_shape = x.shape
     n, c = x.shape[0], x.shape[-1]
     m = int(np.prod(x.shape[1:-1]))
     cg = c // num_groups
 
+    sums = None
     if _use_pallas():
-        x_flat, _ = _flatten_pad(x)
-        dy_flat, _ = _flatten_pad(dy)
-        k = _fold_factor(m, c)
-        tile_vec = lambda v: jnp.tile(v.astype(jnp.float32), (1, k))[:, None, :]  # (N, 1, k*C)
-        sums_kc = _bwd_channel_sums(
-            x_flat.reshape(n, m // k, k * c),
-            dy_flat.reshape(n, m // k, k * c),
-            tile_vec(mean_c), tile_vec(rstd_c),
-            jnp.tile(gamma.astype(jnp.float32)[None, :], (n, k))[:, None, :],
-            jnp.tile(beta.astype(jnp.float32)[None, :], (n, k))[:, None, :],
+        sums = _bwd_channel_sums(
+            _as_5d(x), _as_5d(dy), mean_c, rstd_c,
+            jnp.broadcast_to(gamma.astype(jnp.float32)[None, :], (n, c)),
+            jnp.broadcast_to(beta.astype(jnp.float32)[None, :], (n, c)),
             act,
         )
-        sums = sums_kc.reshape(n, 2, k, c).sum(axis=2)
+    if sums is not None:
         c1 = sums[:, 0]  # (N, C): sum dz
         c2 = sums[:, 1]  # (N, C): sum dz * xhat
     else:
@@ -285,11 +268,11 @@ def _bwd(num_groups, eps, act, residuals, dy):
     mean_dxhat_xhat = jnp.repeat(s2_g / count, cg, axis=1)
 
     # elementwise dx (fused by XLA); recompute xhat and dz on the fly
-    bshape = (n,) + (1,) * (len(orig_shape) - 2) + (c,)
+    bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
     mean_b = mean_c.reshape(bshape)
     rstd_b = rstd_c.reshape(bshape)
-    gamma_b = gamma_f.reshape((1,) * (len(orig_shape) - 1) + (c,))
-    beta_b = beta.astype(jnp.float32).reshape((1,) * (len(orig_shape) - 1) + (c,))
+    gamma_b = gamma_f.reshape((1,) * (x.ndim - 1) + (c,))
+    beta_b = beta.astype(jnp.float32).reshape((1,) * (x.ndim - 1) + (c,))
 
     xf = x.astype(jnp.float32)
     xhat = (xf - mean_b) * rstd_b

@@ -48,7 +48,8 @@ def shard_batch(mesh: Mesh, tree):
     n = mesh.devices.size
 
     def _put(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         if x.ndim > 0 and x.shape[0] % n == 0:
             return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
         return jax.device_put(x, NamedSharding(mesh, P()))

@@ -46,6 +46,19 @@ def create_trainer(config: dict) -> "UNetTrainer":
 
     loss_criterion = get_loss_criterion(config)
     eval_criterion = get_evaluation_metric(config)
+
+    # optional device-side augmentation: strip movable transforms from the
+    # host pipeline and run them batched on the accelerator instead
+    from pytorch3dunet_tpu.ops.augment import DeviceAugmenter, split_device_transforms
+
+    device_aug_spec = split_device_transforms(config["loaders"])
+    device_augmenter = DeviceAugmenter(device_aug_spec) if device_aug_spec else None
+    if device_augmenter is not None:
+        logger.info(
+            f"Device augmentation: {len(device_aug_spec['paired'])} paired + "
+            f"{len(device_aug_spec['raw_only'])} raw-only transforms moved on-device"
+        )
+
     loaders = get_train_loaders(config)
 
     optimizer_config = config["optimizer"]
@@ -67,6 +80,7 @@ def create_trainer(config: dict) -> "UNetTrainer":
         pre_trained=pre_trained,
         device=device,
         seed=config.get("manual_seed", None),
+        device_augmenter=device_augmenter,
         **trainer_config,
     )
 
@@ -82,7 +96,8 @@ class UNetTrainer:
                  checkpoint_dir, max_num_epochs, max_num_iterations, validate_after_iters=200, log_after_iters=100,
                  validate_iters=None, num_iterations=1, num_epoch=0, eval_score_higher_is_better=True,
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
-                 max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False):
+                 max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False,
+                 device_augmenter=None):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -132,6 +147,8 @@ class UNetTrainer:
             self.checkpoint_dir = os.path.split(resume)[0]
         elif pre_trained is not None and not self.checkpoint_dir:
             self.checkpoint_dir = os.path.split(pre_trained)[0]
+
+        self.device_augmenter = device_augmenter
 
         # observability: optional jax.profiler traces + per-step throughput
         self.profile_dir = profile_dir
@@ -216,16 +233,25 @@ class UNetTrainer:
 
     # --------------------------------------------------------------- batching
 
-    def _prepare_batch(self, raw: np.ndarray, target: np.ndarray):
+    def _prepare_batch(self, raw: np.ndarray, target: np.ndarray, augment: bool = False):
         """(N, C, [D,] H, W) loader batch -> channels-last device layout."""
         inp = np.moveaxis(np.asarray(raw), 1, -1)
         target = np.asarray(target)
         if target.ndim == raw.ndim:
             target = np.moveaxis(target, 1, -1)
+
+        if augment and self.device_augmenter is not None:
+            aug_key, self._rng = jax.random.split(self._rng)
+            label_has_channel = target.ndim == inp.ndim
+            tgt = target if label_has_channel else target[..., None]
+            inp, tgt = self.device_augmenter(aug_key, jnp.asarray(inp), jnp.asarray(tgt))
+            target = tgt if label_has_channel else tgt[..., 0]
+
         if is_model_2d(self.model):
-            # strip the singleton z-dim (reference trainer.py:352-359)
-            inp = np.squeeze(inp, axis=1)
-            target = np.squeeze(target, axis=1)
+            # strip the singleton z-dim (reference trainer.py:352-359);
+            # indexing works for numpy and (post-augment) jax arrays alike
+            inp = inp[:, 0]
+            target = target[:, 0]
         if self.mesh is None:
             self.mesh = choose_data_mesh(inp.shape[0])
             logger.info(f"Data-parallel mesh: {self.mesh.devices.size} device(s)")
@@ -285,7 +311,7 @@ class UNetTrainer:
             )
             _t_start = _time.perf_counter()
             raw, target_host = t
-            inp, target = self._prepare_batch(raw, target_host)
+            inp, target = self._prepare_batch(raw, target_host, augment=True)
             self._ensure_initialized(inp)
             if self._train_step_fn is None:
                 self._train_step_fn = self._build_train_step()
