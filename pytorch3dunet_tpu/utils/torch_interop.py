@@ -158,3 +158,72 @@ def load_torch_checkpoint_as_variables(path: str) -> dict:
     state = load_torch_state_dict(path)
     logger.info(f"Converting torch state dict with {len(state)} tensors from {path}")
     return {"params": torch_state_dict_to_params(state)}
+
+
+# ---------------------------------------------------------------------------
+# export: our params -> reference torch state dict
+# ---------------------------------------------------------------------------
+
+
+def _export_conv_weight(k: np.ndarray) -> np.ndarray:
+    """flax kernel (*spatial, I, O) -> torch Conv (O, I, *spatial)."""
+    rank = k.ndim
+    return np.transpose(k, (rank - 1, rank - 2) + tuple(range(rank - 2)))
+
+
+def _export_conv_transpose_weight(k: np.ndarray) -> np.ndarray:
+    """flax ConvTranspose kernel (*spatial, I, O) -> torch (I, O, *spatial), taps mirrored."""
+    rank = k.ndim
+    k = np.flip(k, axis=tuple(range(rank - 2)))
+    return np.transpose(k, (rank - 2, rank - 1) + tuple(range(rank - 2)))
+
+
+def _export_subtree(prefix_t: str, tree: dict, out: dict):
+    for name, sub in tree.items():
+        path = f"{prefix_t}.{name}" if prefix_t else name
+        if not isinstance(sub, dict):
+            continue
+        if "kernel" in sub:  # conv or dense
+            k = np.asarray(sub["kernel"])
+            if name == "upsampling":
+                out[f"{path}.upsample.conv_transposed.weight"] = _export_conv_transpose_weight(k)
+            elif k.ndim == 2:  # dense (SE fc layers)
+                out[f"{path}.weight"] = k.T
+            else:
+                out[f"{path}.weight"] = _export_conv_weight(k)
+            if "bias" in sub:
+                out[f"{path}.bias"] = np.asarray(sub["bias"])
+        elif "scale" in sub:  # norm layers
+            out[f"{path}.weight"] = np.asarray(sub["scale"])
+            out[f"{path}.bias"] = np.asarray(sub["bias"])
+        else:
+            # flax nests the ResNetBlock of the SE variant under 'block'; torch is flat
+            next_prefix = prefix_t if name == "block" else path
+            _export_subtree(next_prefix, sub, out)
+
+
+def params_to_torch_state_dict(params: dict) -> dict:
+    """Converts this framework's params tree to a reference-layout state dict.
+
+    Module names map back: encoder{i} -> encoders.{i}.basic_module parent etc.
+    The result (numpy arrays) can be torch.save'd for use with the reference.
+    """
+    out: dict[str, np.ndarray] = {}
+    for name, tree in params.items():
+        if name.startswith("encoder"):
+            _export_subtree(f"encoders.{name[len('encoder'):]}", tree, out)
+        elif name.startswith("decoder"):
+            _export_subtree(f"decoders.{name[len('decoder'):]}", tree, out)
+        else:
+            _export_subtree("", {name: tree}, out)
+    return out
+
+
+def save_torch_checkpoint(variables: dict, path: str):
+    """Saves our variables as a torch-loadable reference checkpoint."""
+    import torch
+
+    state = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+             params_to_torch_state_dict(variables["params"]).items()}
+    torch.save({"model_state_dict": state}, path)
+    logger.info(f"Saved torch-format checkpoint with {len(state)} tensors to {path}")

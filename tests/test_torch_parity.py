@@ -171,3 +171,53 @@ def test_full_model_forward_parity(model_name):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(probs), -1, 1), _np(want_probs), atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("model_name", ["UNet3D", "ResidualUNet3D"])
+def test_export_roundtrip(model_name):
+    """Our params -> torch state dict -> back: identical tree (bidirectional interop)."""
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.utils.torch_interop import params_to_torch_state_dict
+
+    cfg = {"name": model_name, "in_channels": 2, "out_channels": 3, "f_maps": 8,
+           "num_groups": 4, "num_levels": 3}
+    model = get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(1), patch_shape=(8, 16, 16))
+
+    state = params_to_torch_state_dict(variables["params"])
+    restored = torch_state_dict_to_params(state)
+
+    flat_orig = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat_back = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    flat_back = {tuple(str(getattr(p, "key", p)) for p in k): v for k, v in flat_back.items()}
+    for path, leaf in flat_orig:
+        key = tuple(str(getattr(p, "key", p)) for p in path)
+        assert key in flat_back, f"missing {key} after round trip"
+        np.testing.assert_allclose(np.asarray(leaf), flat_back[key], atol=1e-6, err_msg=str(key))
+
+
+def test_export_loads_into_reference():
+    """Exported checkpoints load into the reference torch model and match outputs."""
+    if not _import_reference():
+        pytest.skip("reference package not importable")
+    from pytorch3dunet.unet3d.model import get_model as torch_get_model
+
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.utils.torch_interop import params_to_torch_state_dict
+
+    cfg = {"name": "UNet3D", "in_channels": 1, "out_channels": 2, "f_maps": 8,
+           "num_groups": 4, "num_levels": 2, "final_sigmoid": True}
+    model = get_model(dict(cfg))
+    variables = model.init(jax.random.PRNGKey(3), patch_shape=(8, 16, 16))
+
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in params_to_torch_state_dict(variables["params"]).items()}
+    tmodel = torch_get_model(dict(cfg))
+    tmodel.load_state_dict(state)
+    tmodel.eval()
+
+    x = np.random.RandomState(8).rand(1, 8, 16, 16, 1).astype(np.float32)
+    probs, _ = model.apply(variables, x)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(probs), -1, 1), _np(want), atol=2e-4)
