@@ -48,8 +48,6 @@ def matmul_sum(x):
 
 
 def folded_sum(x):
-    k = 128 // min(C, 128) if C < 128 else 1
-    xf = x.reshape(1, -1, 128 * (C // C)) if False else x
     xf = x.astype(jnp.float32).reshape(1, M // 8, 8 * C)
     s8 = xf.sum(axis=1)
     ss8 = (xf * xf).sum(axis=1)
