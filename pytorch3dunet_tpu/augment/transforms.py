@@ -276,8 +276,10 @@ class PercentileNormalizer:
     def __init__(self, pmin: float = 1.0, pmax: float = 99.6, channelwise: bool = False, eps: float = 1e-10,
                  **kwargs):
         self.eps = eps
-        self.pmin = pmin
-        self.pmax = pmax
+        # base-config stats may inject pmin/pmax as None (stats skipped):
+        # fall back to the reference defaults
+        self.pmin = 1.0 if pmin is None else pmin
+        self.pmax = 99.6 if pmax is None else pmax
         self.channelwise = channelwise
 
     def __call__(self, m: np.ndarray) -> np.ndarray:

@@ -12,9 +12,17 @@ weighted by a separable Gaussian window and accumulated; overlapping patches
 blend smoothly instead of overwriting (with stride == patch there is no
 overlap and blending reduces to assignment, reproducing reference behavior).
 
+Multi-chip (spatial parallelism, SURVEY.md §2.3): when a device mesh is given,
+the patch grid is split across the 'data' mesh axis with `shard_map` — each
+chip predicts a disjoint patch subset into its own accumulator (halos come
+from the replicated source volume, so no halo exchange is needed) and the
+partial volumes are merged with one `psum` over ICI. This replaces the
+reference's `nn.DataParallel` inference wrap (predict.py:63-67) with SPMD.
+
 Normalization: the common test-transformer pipelines are applied on device —
-`Standardize` with volume stats (global_normalization) or per-patch stats, and
-min-max `Normalize`; exotic pipelines fall back to the host predictor.
+`Standardize` with volume stats (global_normalization) or per-patch stats,
+min-max `Normalize`, and per-patch `PercentileNormalizer`; exotic pipelines
+fall back to the host predictor.
 """
 
 from functools import partial
@@ -22,7 +30,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
+from pytorch3dunet_tpu.parallel.mesh import DATA_AXIS
 from pytorch3dunet_tpu.utils import get_logger
 
 logger = get_logger("DeviceSlidingWindow")
@@ -46,12 +56,16 @@ class DeviceSlidingWindow:
         model: UNetModel (3D).
         patch_shape: core patch shape (D, H, W) from the slice builder.
         halo_shape: halo on each side; the network sees patch + 2*halo.
-        normalize: 'standardize' | 'standardize_patch' | 'normalize' | None.
-        stats: dict with 'mean'/'std' when normalize == 'standardize'.
+        normalize: 'standardize' | 'standardize_patch' | 'normalize' |
+            'percentile' | None.
+        stats: dict with 'mean'/'std' ('pmin'/'pmax' for percentile).
         blend: 'assign' (reference parity) or 'gaussian' (weighted blending).
+        mesh: optional jax Mesh with a 'data' axis; the patch grid is sharded
+            across it (each device sweeps a disjoint subset of patches).
     """
 
-    def __init__(self, model, patch_shape, halo_shape, normalize=None, stats=None, blend="assign"):
+    def __init__(self, model, patch_shape, halo_shape, normalize=None, stats=None, blend="assign", mesh=None,
+                 weighted=None):
         self.model = model
         self.patch_shape = tuple(patch_shape)
         self.halo_shape = tuple(halo_shape)
@@ -59,6 +73,12 @@ class DeviceSlidingWindow:
         self.stats = stats or {}
         self.blend = blend
         assert blend in ("assign", "gaussian")
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        # weighted accumulation (sum cores + counts, divide at the end) is
+        # required for gaussian blending and for partial sweeps that are merged
+        # later (volume chunking); pure assignment matches the reference's
+        # write-wins stitching exactly
+        self.weighted = (blend == "gaussian") if weighted is None else weighted
 
     def _normalize_patch(self, patch):
         if self.normalize == "standardize":
@@ -73,55 +93,107 @@ class DeviceSlidingWindow:
             lo = jnp.min(patch)
             hi = jnp.max(patch)
             return jnp.clip(2 * (patch - lo) / (hi - lo + 1e-10) - 1, -1, 1)
+        if self.normalize == "percentile":
+            lo = jnp.percentile(patch, jnp.float32(self.stats.get("pmin", 1)))
+            hi = jnp.percentile(patch, jnp.float32(self.stats.get("pmax", 99.6)))
+            return (patch - lo) / (hi - lo + 1e-10)
         return patch
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=())
-    def _sweep(self, variables, padded_volume, starts):
-        """padded_volume: (Dp, Hp, Wp, Cin); starts: (P, 3) core-start indices."""
+    def _patch_sizes(self, padded_volume):
         hz, hy, hx = self.halo_shape
         cz, cy, cx = self.patch_shape
-        pz, py, px = cz + 2 * hz, cy + 2 * hy, cx + 2 * hx
-        cin = padded_volume.shape[-1]
-        cout = self.model.out_channels
+        return (cz + 2 * hz, cy + 2 * hy, cx + 2 * hx), padded_volume.shape[-1]
 
+    def _forward_core(self, variables, padded_volume, start):
+        """dynamic_slice -> normalize -> model -> halo crop; (patch, Cout) core."""
+        (pz, py, px), cin = self._patch_sizes(padded_volume)
+        hz, hy, hx = self.halo_shape
+        cz, cy, cx = self.patch_shape
+        patch = jax.lax.dynamic_slice(padded_volume, (start[0], start[1], start[2], 0), (pz, py, px, cin))
+        patch = self._normalize_patch(patch)
+        probs, _ = self.model.module.apply(variables, patch[None], train=False)
+        return probs[0, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
+
+    def _accumulate(self, variables, padded_volume, starts, weighted, vary_axis=None):
+        """Sweeps `starts`, accumulating (out, weights); weights is None for
+        pure-assignment stitching (reference write-wins semantics)."""
+        cout = self.model.out_channels
         out_spatial = tuple(s - 2 * h for s, h in zip(padded_volume.shape[:3], self.halo_shape))
         out = jnp.zeros((*out_spatial, cout), dtype=jnp.float32)
-        if self.blend == "gaussian":
-            weights = jnp.zeros(out_spatial, dtype=jnp.float32)
-            window = _gaussian_window(self.patch_shape)
-        else:
-            weights = None
-            window = None
+        window = _gaussian_window(self.patch_shape) if self.blend == "gaussian" else None
+        weights = jnp.zeros(out_spatial, dtype=jnp.float32) if weighted else None
+        if vary_axis is not None:
+            # inside shard_map the loop carry depends on the sharded starts:
+            # mark the (replicated-zero) initial accumulators as device-varying
+            out = jax.lax.pvary(out, vary_axis)
+            weights = jax.lax.pvary(weights, vary_axis) if weights is not None else None
 
         def body(i, carry):
             out, weights = carry
             s = starts[i]
-            patch = jax.lax.dynamic_slice(padded_volume, (s[0], s[1], s[2], 0), (pz, py, px, cin))
-            patch = self._normalize_patch(patch)
-            probs, _ = self.model.module.apply(variables, patch[None], train=False)
-            core = probs[0, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
-            if self.blend == "gaussian":
-                core = core * window[..., None]
+            core = self._forward_core(variables, padded_volume, s)
+            if weighted:
+                win = window if window is not None else jnp.ones(self.patch_shape, jnp.float32)
                 prev_w = jax.lax.dynamic_slice(weights, (s[0], s[1], s[2]), self.patch_shape)
                 prev = jax.lax.dynamic_slice(out, (s[0], s[1], s[2], 0), (*self.patch_shape, cout))
-                out = jax.lax.dynamic_update_slice(out, prev + core, (s[0], s[1], s[2], 0))
-                weights = jax.lax.dynamic_update_slice(weights, prev_w + window, (s[0], s[1], s[2]))
+                out = jax.lax.dynamic_update_slice(out, prev + core * win[..., None], (s[0], s[1], s[2], 0))
+                weights = jax.lax.dynamic_update_slice(weights, prev_w + win, (s[0], s[1], s[2]))
             else:
                 out = jax.lax.dynamic_update_slice(out, core, (s[0], s[1], s[2], 0))
             return out, weights
 
-        out, weights = jax.lax.fori_loop(0, starts.shape[0], body, (out, weights))
-        if self.blend == "gaussian":
-            out = out / weights[..., None]
-        return out
+        return jax.lax.fori_loop(0, starts.shape[0], body, (out, weights))
 
-    def __call__(self, variables, padded_volume: np.ndarray, starts: np.ndarray) -> np.ndarray:
-        """Runs the sweep; returns the stitched (D, H, W, Cout) volume."""
+    @partial(jax.jit, static_argnums=(0,))
+    def _sweep(self, variables, padded_volume, starts):
+        """Single-device sweep. padded_volume: (Dp, Hp, Wp, Cin); starts: (P, 3)."""
+        return self._accumulate(variables, padded_volume, starts, weighted=self.weighted)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _sweep_sharded(self, variables, padded_volume, starts):
+        """Multi-device sweep: patch grid split over the 'data' mesh axis.
+
+        Every device accumulates its patch subset (weighted, so duplicated
+        pad-starts and overlaps average correctly) and the partials are merged
+        with one psum over ICI.
+        """
+
+        def shard_fn(variables, vol, starts_local):
+            out, weights = self._accumulate(variables, vol, starts_local, weighted=True, vary_axis=DATA_AXIS)
+            return jax.lax.psum(out, DATA_AXIS), jax.lax.psum(weights, DATA_AXIS)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+        )(variables, padded_volume, starts)
+
+    def sweep_raw(self, variables, padded_volume, starts: np.ndarray):
+        """One device dispatch over `starts`; returns numpy (out, weights|None)
+        UNDIVIDED, so callers can accumulate partial sweeps (volume chunking)."""
         padded_volume = jnp.asarray(padded_volume, dtype=jnp.float32)
         if padded_volume.ndim == 3:
             padded_volume = padded_volume[..., None]
-        starts = jnp.asarray(starts, dtype=jnp.int32)
-        return np.asarray(self._sweep(variables, padded_volume, starts))
+        starts = np.asarray(starts, dtype=np.int32)
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            pad = (-len(starts)) % n
+            if pad:
+                # duplicate the last start: weighted accumulation averages the
+                # duplicates away (sum and count both double)
+                starts = np.concatenate([starts, np.repeat(starts[-1:], pad, axis=0)])
+            out, weights = self._sweep_sharded(variables, padded_volume, jnp.asarray(starts, jnp.int32))
+        else:
+            out, weights = self._sweep(variables, padded_volume, jnp.asarray(starts, jnp.int32))
+        return np.asarray(out), (None if weights is None else np.asarray(weights))
+
+    def __call__(self, variables, padded_volume: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Runs the sweep; returns the stitched (D, H, W, Cout) volume."""
+        out, weights = self.sweep_raw(variables, padded_volume, starts)
+        if weights is not None:
+            out = out / np.maximum(weights, 1e-10)[..., None]
+        return out
 
 
 def detect_device_path(transformer_config, global_stats) -> tuple[str | None, dict] | None:
@@ -140,6 +212,12 @@ def detect_device_path(transformer_config, global_stats) -> tuple[str | None, di
         return "standardize_patch", {}
     if tail == ["Normalize"]:
         return "normalize", {}
+    if tail == ["PercentileNormalizer"]:
+        # merge base stats exactly like Transformer._create_augmentation does
+        cfg = {**(global_stats or {}), **next(t for t in transformer_config if t["name"] == "PercentileNormalizer")}
+        pmin = cfg.get("pmin")
+        pmax = cfg.get("pmax")
+        return "percentile", {"pmin": 1.0 if pmin is None else pmin, "pmax": 99.6 if pmax is None else pmax}
     if tail == []:
         return None, {}
     return None

@@ -23,6 +23,16 @@ def get_predictor(model, variables, config: dict):
 
     predictor_config = dict(config.get("predictor", {}))
     class_name = predictor_config.pop("name", "StandardPredictor")
+    force_host = predictor_config.pop("force_host", False)
+
+    device = str(config.get("device", ""))
+    if class_name == "StandardPredictor" and "tpu" in device.lower() and not force_host:
+        # TPU default: the device-side sweep (single upload + jitted patch
+        # loop + sharded grid) replaces the per-patch host loop; it falls back
+        # to the host path itself for 2D models / unsupported transformers.
+        # `force_host: true` in the predictor config opts out.
+        logger.info("TPU device: using DeviceSlidingWindowPredictor (set predictor.force_host to opt out)")
+        class_name = "DeviceSlidingWindowPredictor"
 
     m = importlib.import_module("pytorch3dunet_tpu.predictor")
     predictor_class = getattr(m, class_name)

@@ -185,19 +185,50 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
     inference_device.py). Falls back to the host loop (StandardPredictor) for
     2D models or unsupported transformer pipelines.
 
+    Multi-chip: when more than one device is visible, the patch grid is
+    sharded across a 1-D data mesh (each chip predicts a disjoint patch
+    subset; partial volumes merge with one psum) — the TPU-native analog of
+    the reference's DataParallel inference (predict.py:63-67).
+
+    Large volumes: when the padded volume exceeds `max_device_voxels`
+    elements, the grid is processed in z-slabs, uploading one sub-volume at a
+    time (device-side counterpart of the LazyPredictor).
+
     Extra config keys:
         blend: 'assign' (default, reference parity) or 'gaussian'
             (Gaussian-weighted patch blending for overlapping grids).
+        shard: split the patch grid across all visible devices (default true).
+        max_device_voxels: slab the sweep when the padded volume is larger
+            than this many elements (default 1e9).
     """
 
-    def __init__(self, *args, blend="assign", **kwargs):
+    def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), **kwargs):
         super().__init__(*args, **kwargs)
         self.blend = blend
+        self.shard = shard
+        self.max_device_voxels = max_device_voxels
         self._sweeps = {}
+
+    def _get_sweep(self, patch_shape, halo_shape, normalize, stats, weighted):
+        from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
+        from pytorch3dunet_tpu.parallel import data_mesh
+
+        mesh = None
+        if self.shard and len(jax.devices()) > 1:
+            mesh = data_mesh()
+        key = (patch_shape, halo_shape, normalize, self.blend, weighted, mesh is not None)
+        if key not in self._sweeps:
+            if mesh is not None:
+                logger.info(f"Sharding the patch grid over {mesh.devices.size} devices")
+            self._sweeps[key] = DeviceSlidingWindow(
+                self.model, patch_shape, halo_shape, normalize=normalize, stats=stats,
+                blend=self.blend, mesh=mesh, weighted=weighted,
+            )
+        return self._sweeps[key]
 
     def __call__(self, test_loader):
         from pytorch3dunet_tpu.datasets.utils import mirror_pad
-        from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow, detect_device_path
+        from pytorch3dunet_tpu.inference_device import detect_device_path
 
         dataset = test_loader.dataset
         if is_model_2d(self.model):
@@ -229,13 +260,12 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         )
         patch_shape = tuple(idx.stop - idx.start for idx in dataset.raw_slices[0][-3:])
 
-        key = (patch_shape, dataset.halo_shape, normalize, self.blend)
-        if key not in self._sweeps:
-            self._sweeps[key] = DeviceSlidingWindow(
-                self.model, patch_shape, dataset.halo_shape, normalize=normalize, stats=stats, blend=self.blend
-            )
-        sweep = self._sweeps[key]
-        stitched = sweep(self.variables, padded, starts)  # (D, H, W, Cout)
+        n_voxels = int(np.prod(padded.shape))
+        if self.max_device_voxels and n_voxels > self.max_device_voxels:
+            stitched = self._chunked_sweep(padded, starts, patch_shape, dataset.halo_shape, normalize, stats)
+        else:
+            sweep = self._get_sweep(patch_shape, dataset.halo_shape, normalize, stats, weighted=None)
+            stitched = sweep(self.variables, padded, starts)  # (D, H, W, Cout)
         prediction_array = np.moveaxis(stitched, -1, 0)  # (Cout, D, H, W)
 
         logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
@@ -261,6 +291,48 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                 return dice_score(prediction_array, gt)
             return mean_iou(prediction_array, gt, n_classes=self.out_channels)
         return None
+
+    def _chunked_sweep(self, padded, starts, patch_shape, halo_shape, normalize, stats):
+        """Sweeps the grid in z-slabs so only one sub-volume lives on device at
+        a time (the device-side LazyPredictor analog for huge volumes).
+
+        Partial (out, weights) sweeps accumulate on host; chunked mode always
+        uses weighted accumulation so slab boundaries merge correctly.
+        """
+        hz = halo_shape[0]
+        pz = patch_shape[0] + 2 * hz
+        plane_voxels = int(np.prod(padded.shape[1:]))
+        z_capacity = max(int(self.max_device_voxels // max(plane_voxels, 1)), pz)
+
+        out_spatial = tuple(s - 2 * h for s, h in zip(padded.shape[:3], halo_shape))
+        out = np.zeros((*out_spatial, self.out_channels), dtype=np.float32)
+        weights = np.zeros(out_spatial, dtype=np.float32)
+
+        z_levels = np.unique(starts[:, 0])
+        sweep = self._get_sweep(tuple(patch_shape), tuple(halo_shape), normalize, stats, weighted=True)
+        chunk: list = []
+
+        def flush(chunk):
+            z0 = int(min(starts[i, 0] for i in chunk))
+            z1 = int(max(starts[i, 0] for i in chunk))
+            sub = padded[z0 : z1 + pz]
+            local = starts[chunk].copy()
+            local[:, 0] -= z0
+            part_out, part_w = sweep.sweep_raw(self.variables, sub, local)
+            zo = z1 - z0 + patch_shape[0]  # output extent of the slab
+            out[z0 : z0 + zo] += part_out
+            weights[z0 : z0 + zo] += part_w
+
+        for z in z_levels:
+            zmin = int(min(starts[i, 0] for i in chunk)) if chunk else int(z)
+            if chunk and (int(z) - zmin + pz) > z_capacity:
+                flush(chunk)
+                chunk = []
+            chunk.extend(np.nonzero(starts[:, 0] == z)[0].tolist())
+        if chunk:
+            flush(chunk)
+        logger.info(f"Chunked sweep: {len(z_levels)} z-levels in slabs of <= {z_capacity} z-planes")
+        return out / np.maximum(weights, 1e-10)[..., None]
 
 
 class DSB2018Predictor(AbstractPredictor):

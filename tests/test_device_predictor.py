@@ -88,6 +88,95 @@ def test_gaussian_blend_overlapping(tmpdir):
     np.testing.assert_allclose(out.sum(axis=0), 1.0, atol=1e-3)  # softmax volumes blend to 1
 
 
+def test_sharded_grid_matches_single_device(tmpdir):
+    # the patch grid is split across the 8 virtual devices; the psum-merged
+    # output must be identical to the single-device sweep
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False}
+    single = _predict(config, model, variables)
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": True}
+    predictor = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        predictor(loader)
+    # the sweep actually ran sharded over the full device mesh
+    assert any(k[-1] for k in predictor._sweeps), "sharded sweep was not used"
+    sweep = next(iter(predictor._sweeps.values()))
+    assert sweep.mesh is not None and sweep.mesh.devices.size == len(jax.devices())
+
+    out = os.path.join(config["loaders"]["output_dir"], "vol_predictions.h5")
+    with h5py.File(out, "r") as f:
+        sharded = f["predictions"][:]
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_gaussian_overlapping(tmpdir):
+    # sharded + gaussian blending on an overlapping grid: valid probabilities
+    config = _make_config(tmpdir)
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [4, 12, 12]
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "blend": "gaussian", "shard": True}
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+    out = _predict(config, model, variables)
+    np.testing.assert_allclose(out.sum(axis=0), 1.0, atol=1e-3)
+
+
+def test_chunked_sweep_matches_full_upload(tmpdir):
+    # force z-slab chunking with a tiny device budget: identical output
+    config = _make_config(tmpdir, shape=(32, 48, 48))
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [8, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [8, 24, 24]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False}
+    full = _predict(config, model, variables)
+
+    # one slab holds at most ~2 patch rows of z-planes
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False,
+                           "max_device_voxels": 2 * 16 * 64 * 64}
+    chunked = _predict(config, model, variables)
+    np.testing.assert_allclose(chunked, full, atol=2e-5)
+
+
+def test_device_percentile_normalizer(tmpdir):
+    # PercentileNormalizer runs on device and matches the host pipeline
+    config = _make_config(tmpdir, transformer=[{"name": "PercentileNormalizer"},
+                                               {"name": "ToTensor", "expand_dims": True}])
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+    host = _predict(config, model, variables)
+
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    device = _predict(config, model, variables)
+    np.testing.assert_allclose(device, host, atol=2e-4)
+
+
+def test_tpu_device_routes_to_device_sweep(tmpdir):
+    # StandardPredictor on a tpu device maps to the device sweep by default
+    from pytorch3dunet_tpu.predictor import DeviceSlidingWindowPredictor, StandardPredictor
+
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["device"] = "tpu"
+    predictor = get_predictor(model, variables, config)
+    assert isinstance(predictor, DeviceSlidingWindowPredictor)
+
+    config["predictor"] = {"name": "StandardPredictor", "force_host": True}
+    predictor = get_predictor(model, variables, config)
+    assert type(predictor) is StandardPredictor
+
+    config["device"] = "cpu"
+    config["predictor"] = {"name": "StandardPredictor"}
+    predictor = get_predictor(model, variables, config)
+    assert type(predictor) is StandardPredictor
+
+
 def test_device_per_patch_standardize(tmpdir):
     # per-patch Standardize (no global stats) is supported on device
     config = _make_config(tmpdir)
