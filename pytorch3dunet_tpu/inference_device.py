@@ -130,10 +130,14 @@ class DeviceSlidingWindow:
 
         def body(i, carry):
             out, weights = carry
-            s = starts[i]
+            s0 = starts[i]
+            # sentinel (-1) starts pad the grid to the mesh size: their weight
+            # is masked to zero so they contribute nothing anywhere
+            valid = (s0[0] >= 0).astype(jnp.float32)
+            s = jnp.maximum(s0, 0)
             core = self._forward_core(variables, padded_volume, s)
             if weighted:
-                win = window if window is not None else jnp.ones(self.patch_shape, jnp.float32)
+                win = (window if window is not None else jnp.ones(self.patch_shape, jnp.float32)) * valid
                 prev_w = jax.lax.dynamic_slice(weights, (s[0], s[1], s[2]), self.patch_shape)
                 prev = jax.lax.dynamic_slice(out, (s[0], s[1], s[2], 0), (*self.patch_shape, cout))
                 out = jax.lax.dynamic_update_slice(out, prev + core * win[..., None], (s[0], s[1], s[2], 0))
@@ -180,9 +184,8 @@ class DeviceSlidingWindow:
             n = self.mesh.devices.size
             pad = (-len(starts)) % n
             if pad:
-                # duplicate the last start: weighted accumulation averages the
-                # duplicates away (sum and count both double)
-                starts = np.concatenate([starts, np.repeat(starts[-1:], pad, axis=0)])
+                # pad with sentinel starts; the sweep masks their weight to 0
+                starts = np.concatenate([starts, np.full((pad, 3), -1, np.int32)])
             out, weights = self._sweep_sharded(variables, padded_volume, jnp.asarray(starts, jnp.int32))
         else:
             out, weights = self._sweep(variables, padded_volume, jnp.asarray(starts, jnp.int32))

@@ -22,9 +22,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pytorch3dunet_tpu.models.se import ChannelSELayer3D, ChannelSpatialSELayer3D, SpatialSELayer3D
+from pytorch3dunet_tpu.ops import packed as packed_ops
 from pytorch3dunet_tpu.ops.conv import conv_nd
 from pytorch3dunet_tpu.ops.groupnorm import group_norm_act
 from pytorch3dunet_tpu.ops.interp import resize_spatial
+from pytorch3dunet_tpu.ops.packed import PackedArray, pack, unpack
 from pytorch3dunet_tpu.ops.pool import avg_pool, max_pool
 
 # matches torch's default kaiming_uniform(a=sqrt(5)) conv init: U(+-sqrt(1/fan_in))
@@ -40,6 +42,8 @@ def _to_tuple(v, rank: int) -> tuple[int, ...]:
 
 
 def _apply_activation(char: str, x):
+    if isinstance(x, PackedArray):
+        return packed_ops.map_data(x, lambda d: _apply_activation(char, d))
     if char == "r":
         return nn.relu(x)
     if char == "l":
@@ -76,6 +80,24 @@ _USE_FUSED_GN = _os.environ.get("P3DUNET_FUSED_GN", "0") == "1"
 _USE_RESHAPE_POOL = _os.environ.get("P3DUNET_RESHAPE_POOL", "1") == "1"
 
 
+class PackedGroupNorm(nn.Module):
+    """GroupNorm on a lane-packed activation (fp32 stats, torch eps=1e-5).
+
+    Parameter names match flax GroupNorm ('scale'/'bias') so checkpoints are
+    interchangeable with the unpacked path.
+    """
+
+    num_groups: int
+    act: str = "none"
+
+    @nn.compact
+    def __call__(self, p: PackedArray) -> PackedArray:
+        c = p.channels
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        return packed_ops.group_norm_act(p, scale, bias, self.num_groups, 1e-5, self.act)
+
+
 def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "none"):
     """GroupNorm with torch semantics (eps=1e-5) and fp32 statistics."""
     if num_channels < num_groups:
@@ -84,6 +106,8 @@ def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "non
         f"Expected number of channels in input to be divisible by num_groups. "
         f"num_channels={num_channels}, num_groups={num_groups}"
     )
+    if isinstance(x, PackedArray):
+        return PackedGroupNorm(num_groups=num_groups, act=act, name=name)(x)
     if _USE_FUSED_GN:
         return GroupNormAct(num_groups=num_groups, act=act, name=name)(x)
     orig_dtype = x.dtype
@@ -148,23 +172,35 @@ class SingleConv(nn.Module):
                 skip_next = act != "none"
                 x = group_norm(x, num_channels, self.num_groups, name="groupnorm", act=act)
             elif char == "b":
-                x = nn.BatchNorm(
+                bn = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
                     dtype=jnp.float32,
                     name="batchnorm",
-                )(x.astype(jnp.float32)).astype(x.dtype)
+                )
+                if isinstance(x, PackedArray):
+                    x = pack(bn(unpack(x).astype(jnp.float32)).astype(x.dtype))
+                else:
+                    x = bn(x.astype(jnp.float32)).astype(x.dtype)
             elif char == "d":
-                x = nn.Dropout(rate=self.dropout_prob, deterministic=not train, name=f"dropout{i}")(x)
+                drop = nn.Dropout(rate=self.dropout_prob, deterministic=not train, name=f"dropout{i}")
+                if isinstance(x, PackedArray):
+                    x = packed_ops.map_data(x, drop)
+                else:
+                    x = drop(x)
             elif char == "D":
                 # channel dropout: drop whole feature maps (torch Dropout2d/3d analog)
-                x = nn.Dropout(
-                    rate=self.dropout_prob,
-                    deterministic=not train,
-                    broadcast_dims=tuple(range(1, 1 + self.spatial_rank)),
-                    name=f"dropout2d{i}",
-                )(x)
+                if isinstance(x, PackedArray):
+                    if train and self.dropout_prob > 0:
+                        x = packed_ops.channel_dropout(x, self.make_rng("dropout"), self.dropout_prob)
+                else:
+                    x = nn.Dropout(
+                        rate=self.dropout_prob,
+                        deterministic=not train,
+                        broadcast_dims=tuple(range(1, 1 + self.spatial_rank)),
+                        name=f"dropout2d{i}",
+                    )(x)
             else:
                 raise ValueError(
                     f"Unsupported layer type '{char}'. MUST be one of ['b', 'g', 'r', 'l', 'e', 'c', 'd', 'D']"
@@ -264,14 +300,19 @@ class ResNetBlock(nn.Module):
         )
         out = SingleConv(self.out_channels, order=self.order, name="conv2", **common)(residual, train=train)
         out = SingleConv(self.out_channels, order=n_order, name="conv3", **common)(out, train=train)
-        out = out + residual
-        if "l" in self.order:
-            out = nn.leaky_relu(out, negative_slope=0.1)
-        elif "e" in self.order:
-            out = nn.elu(out)
+        if isinstance(out, PackedArray):
+            out = packed_ops.add(out, residual)
         else:
-            out = nn.relu(out)
-        return out
+            out = out + residual
+        if "l" in self.order:
+            act = lambda v: nn.leaky_relu(v, negative_slope=0.1)  # noqa: E731
+        elif "e" in self.order:
+            act = nn.elu
+        else:
+            act = nn.relu
+        if isinstance(out, PackedArray):
+            return packed_ops.map_data(out, act)
+        return act(out)
 
 
 class ResNetBlockSE(nn.Module):
@@ -297,13 +338,16 @@ class ResNetBlockSE(nn.Module):
             dtype=self.dtype,
             name="block",
         )(x, train=train)
+        # SE layers run on the unpacked layout (global-pool + tiny FC; not hot)
+        packed = isinstance(out, PackedArray)
+        out_u = unpack(out) if packed else out
         if self.se_module == "scse":
-            out = ChannelSpatialSELayer3D(self.out_channels, reduction_ratio=1, dtype=self.dtype, name="se_module")(out)
+            out_u = ChannelSpatialSELayer3D(self.out_channels, reduction_ratio=1, dtype=self.dtype, name="se_module")(out_u)
         elif self.se_module == "cse":
-            out = ChannelSELayer3D(self.out_channels, reduction_ratio=1, dtype=self.dtype, name="se_module")(out)
+            out_u = ChannelSELayer3D(self.out_channels, reduction_ratio=1, dtype=self.dtype, name="se_module")(out_u)
         else:
-            out = SpatialSELayer3D(self.out_channels, dtype=self.dtype, name="se_module")(out)
-        return out
+            out_u = SpatialSELayer3D(self.out_channels, dtype=self.dtype, name="se_module")(out_u)
+        return pack(out_u) if packed else out_u
 
 
 _BASIC_MODULES = {
@@ -363,7 +407,9 @@ class Encoder(nn.Module):
         assert self.pool_type in ["max", "avg"]
         if self.apply_pooling:
             window = _to_tuple(self.pool_kernel_size, self.spatial_rank)
-            if self.pool_type == "max":
+            if isinstance(x, PackedArray):
+                x = packed_ops.max_pool(x, window) if self.pool_type == "max" else packed_ops.avg_pool(x, window)
+            elif self.pool_type == "max":
                 x = max_pool(x, window) if _USE_RESHAPE_POOL else nn.max_pool(
                     x, window_shape=window, strides=window, padding="VALID")
             else:
@@ -411,12 +457,13 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, encoder_features, x, train: bool = False):
         target_spatial = encoder_features.shape[1:-1]
+        packed = isinstance(x, PackedArray)
         if self.upsample_mode == "deconv":
             # transposed conv with stride=scale_factor then nearest fix-up to the
             # exact encoder size (mirrors TransposeConvUpsampling semantics)
             strides = _to_tuple(self.scale_factor, self.spatial_rank)
             kernel = _to_tuple(self.conv_kernel_size, self.spatial_rank)
-            x = nn.ConvTranspose(
+            xu = nn.ConvTranspose(
                 self.out_channels,
                 kernel_size=kernel,
                 strides=strides,
@@ -425,13 +472,25 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 kernel_init=conv_kernel_init,
                 name="upsampling",
-            )(x)
-            x = resize_spatial(x, target_spatial, mode="nearest")
+            )(unpack(x) if packed else x)
+            xu = resize_spatial(xu, target_spatial, mode="nearest")
+            x = pack(xu) if packed else xu
         elif self.upsample_mode is not None:
-            x = resize_spatial(x, target_spatial, mode=self.upsample_mode)
+            if packed:
+                if self.upsample_mode == "nearest":
+                    x = packed_ops.nearest_resize(x, target_spatial)
+                else:
+                    x = pack(resize_spatial(unpack(x), target_spatial, mode=self.upsample_mode))
+            else:
+                x = resize_spatial(x, target_spatial, mode=self.upsample_mode)
 
         if self.concat:
-            x = jnp.concatenate([encoder_features, x], axis=-1)
+            if packed:
+                x = packed_ops.concat_channels(encoder_features, x)
+            else:
+                x = jnp.concatenate([encoder_features, x], axis=-1)
+        elif packed:
+            x = packed_ops.add(encoder_features, x)
         else:
             x = encoder_features + x
 

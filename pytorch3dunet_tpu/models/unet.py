@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch3dunet_tpu.models.blocks import Decoder, Encoder, conv_kernel_init
+from pytorch3dunet_tpu.ops import packed as packed_ops
 from pytorch3dunet_tpu.ops.conv import conv_nd
 from pytorch3dunet_tpu.utils import get_class, get_logger, number_of_features_per_level
 
@@ -135,6 +136,10 @@ class UNetModule(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        # opt-in lane-packed internal layout (N, D, H, W*C); see ops/packed.py
+        # for why it is off by default on current XLA
+        if packed_ops.enabled():
+            x = packed_ops.pack(x)
 
         encoders_features = []
         for encoder in self.encoders:
@@ -146,7 +151,7 @@ class UNetModule(nn.Module):
         for decoder, encoder_features in zip(self.decoders, encoders_features):
             x = decoder(encoder_features, x, train=train)
 
-        logits = self.final_conv(x).astype(jnp.float32)
+        logits = packed_ops.unpack(self.final_conv(x)).astype(jnp.float32)
 
         if self.is_segmentation:
             if self.final_sigmoid:

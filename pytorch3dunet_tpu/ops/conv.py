@@ -26,9 +26,17 @@ import jax.numpy as jnp
 
 from collections.abc import Sequence
 
+from pytorch3dunet_tpu.ops.packed import PackedArray
+
 
 class Conv3D(nn.Module):
-    """Stride-1 3D convolution computed as kd stacked 2D convolutions."""
+    """Stride-1 3D convolution computed as kd stacked 2D convolutions.
+
+    Accepts either a plain (N, D, H, W, C) tensor or a lane-packed
+    (N, D, H, W*C) PackedArray; both feed the 2D convs through pure
+    bitcast reshapes (identical row-major order), so the conv path is the
+    same either way and the output stays in the caller's representation.
+    """
 
     features: int
     kernel_size: tuple = (3, 3, 3)
@@ -42,17 +50,21 @@ class Conv3D(nn.Module):
     def __call__(self, x):
         kd, kh, kw = self.kernel_size
         pd, ph, pw = self.padding
+        packed = isinstance(x, PackedArray)
         N, D, H, W, C = x.shape
+        buf = x.data if packed else x
 
         kernel = self.param("kernel", self.kernel_init, (kd, kh, kw, C, self.features), jnp.float32)
         if self.dtype is not None:
             kernel = kernel.astype(self.dtype)
-            x = x.astype(self.dtype)
+            buf = buf.astype(self.dtype)
 
         if pd:
-            xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+            pad_cfg = [(0, 0)] * buf.ndim
+            pad_cfg[1] = (pd, pd)
+            xp = jnp.pad(buf, pad_cfg)
         else:
-            xp = x
+            xp = buf
         d_out = D + 2 * pd - kd + 1
 
         out = None
@@ -69,13 +81,59 @@ class Conv3D(nn.Module):
 
         h_out = H + 2 * ph - kh + 1
         w_out = W + 2 * pw - kw + 1
-        out = out.reshape(N, d_out, h_out, w_out, self.features)
 
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             if self.dtype is not None:
                 bias = bias.astype(self.dtype)
             out = out + bias
+
+        if packed:
+            return PackedArray(out.reshape(N, d_out, h_out, w_out * self.features), self.features)
+        return out.reshape(N, d_out, h_out, w_out, self.features)
+
+
+class Conv2D(nn.Module):
+    """2D convolution with nn.Conv's parameter layout ('kernel' HWIO, 'bias'),
+    additionally accepting lane-packed (N, H, W*C) PackedArray activations."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    padding: tuple = (1, 1)
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        packed = isinstance(x, PackedArray)
+        N, H, W, C = x.shape
+        buf = x.data.reshape(N, H, W, C) if packed else x
+
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, C, self.features), jnp.float32)
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            buf = buf.astype(self.dtype)
+
+        out = jax.lax.conv_general_dilated(
+            buf,
+            kernel,
+            window_strides=(1, 1),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            out = out + bias
+
+        if packed:
+            h_out, w_out = out.shape[1], out.shape[2]
+            return PackedArray(out.reshape(N, h_out, w_out * self.features), self.features)
         return out
 
 
@@ -100,10 +158,10 @@ def conv_nd(features, kernel_size, padding, use_bias, dtype, kernel_init, name, 
             kernel_init=kernel_init,
             name=name,
         )
-    return nn.Conv(
+    return Conv2D(
         features,
         kernel_size=kernel,
-        padding=[(p, p) for p in pad],
+        padding=pad,
         use_bias=use_bias,
         dtype=dtype,
         kernel_init=kernel_init,
