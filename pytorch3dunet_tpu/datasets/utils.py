@@ -284,6 +284,20 @@ def get_train_loaders(config: dict) -> dict:
         logger.warning(f"Cannot find dataset class in the config. Using default '{dataset_cls_str}'.")
     dataset_class = _loader_classes(dataset_cls_str)
 
+    # multi-host: each process reads a disjoint subset of the train volumes
+    # (per-host sharded HDF5 readers feeding the local devices); validation
+    # files stay identical on every host so LR-scheduler decisions agree
+    import jax
+
+    if jax.process_count() > 1:
+        from pytorch3dunet_tpu.parallel.distributed import shard_file_paths
+
+        loaders_config = dict(loaders_config)
+        loaders_config["train"] = dict(loaders_config["train"])
+        mine = shard_file_paths(loaders_config["train"]["file_paths"])
+        logger.info(f"Multi-host: process {jax.process_index()} trains on {mine}")
+        loaders_config["train"]["file_paths"] = mine
+
     train_datasets = dataset_class.create_datasets(loaders_config, phase="train")
     val_datasets = dataset_class.create_datasets(loaders_config, phase="val")
 

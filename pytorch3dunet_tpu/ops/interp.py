@@ -31,25 +31,46 @@ def resize_spatial(x: jax.Array, target_spatial: tuple[int, ...], mode: str = "n
     return jax.image.resize(x, out_shape, method=method, antialias=antialias).astype(x.dtype)
 
 
+def _upsample2_broadcast(x: jax.Array, axes: set[int]) -> jax.Array:
+    """Doubles the given axes with ONE broadcast_in_dim + reshape.
+
+    Sequential jnp.repeat per axis lowers to a rank-7 broadcast with a (2,128)
+    tile at ~100 GB/s on v5e; the explicit single broadcast measured 210 GB/s
+    (tools/upsampleprobe.py) — 2x faster on the decoder's dominant upsample.
+    """
+    bshape, bdims = [], []
+    for i, s in enumerate(x.shape):
+        bdims.append(len(bshape))
+        bshape.append(s)
+        if i in axes:
+            bshape.append(2)
+    y = jax.lax.broadcast_in_dim(x, tuple(bshape), tuple(bdims))
+    out = tuple(2 * s if i in axes else s for i, s in enumerate(x.shape))
+    return y.reshape(out)
+
+
 def _nearest_resize(x: jax.Array, target_spatial: tuple[int, ...]) -> jax.Array:
     """Nearest-neighbor resize with torch F.interpolate index semantics
-    (idx = floor(i * in/out)). Exact 2x axes use repeat (a reshape/broadcast,
-    no gather — much cheaper on TPU than coordinate-based resize)."""
+    (idx = floor(i * in/out)). Exact 2x axes use a single fused broadcast
+    (no gather — much cheaper on TPU than coordinate-based resize)."""
+    double_axes = {axis for axis, t in enumerate(target_spatial, start=1) if t == 2 * x.shape[axis]}
+    if double_axes:
+        x = _upsample2_broadcast(x, double_axes)
     for axis, t in enumerate(target_spatial, start=1):
         s = x.shape[axis]
         if t == s:
             continue
-        if t == 2 * s:
-            x = jnp.repeat(x, 2, axis=axis)
-        else:
-            idx = np.floor(np.arange(t) * s / t).astype(np.int32)
-            x = jnp.take(x, jnp.asarray(idx), axis=axis)
+        idx = np.floor(np.arange(t) * s / t).astype(np.int32)
+        x = jnp.take(x, jnp.asarray(idx), axis=axis)
     return x
 
 
 def nearest_upsample_int(x: jax.Array, factors: tuple[int, ...]) -> jax.Array:
-    """Fast nearest-neighbor upsampling by integer factors via repeat (no gather)."""
+    """Fast nearest-neighbor integer upsampling via broadcast (no gather)."""
+    double_axes = {axis for axis, f in enumerate(factors, start=1) if f == 2}
+    if double_axes:
+        x = _upsample2_broadcast(x, double_axes)
     for axis, f in enumerate(factors, start=1):
-        if f != 1:
+        if f not in (1, 2):
             x = jnp.repeat(x, f, axis=axis)
     return x

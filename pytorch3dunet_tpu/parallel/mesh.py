@@ -33,8 +33,17 @@ def choose_data_mesh(batch_size: int, devices=None) -> Mesh:
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicates a pytree across the mesh (params/opt state)."""
+    """Replicates a pytree across the mesh (params/opt state).
+
+    Multi-host: every process must call this with the SAME values (true for
+    seeded init and checkpoint loads); jax assembles the fully-replicated
+    global arrays from the per-process copies.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
+        )
     return jax.device_put(tree, sharding)
 
 
@@ -43,13 +52,23 @@ def shard_batch(mesh: Mesh, tree):
 
     Arrays whose batch dimension does not divide the mesh size (e.g. a ragged
     final batch) are replicated instead — correctness first, parallelism when
-    the shapes allow it.
+    the shapes allow it. Multi-host: each process contributes its LOCAL batch
+    (global batch = sum over processes), assembled with
+    make_array_from_process_local_data; ragged batches are replicated from
+    identical per-host values.
     """
     n = mesh.devices.size
+    multihost = jax.process_count() > 1
 
     def _put(x):
         if not isinstance(x, jax.Array):
             x = np.asarray(x)
+        if multihost:
+            x = np.asarray(x)
+            local = jax.local_device_count()
+            if x.ndim > 0 and x.shape[0] % local == 0:
+                return jax.make_array_from_process_local_data(NamedSharding(mesh, P(DATA_AXIS)), x)
+            return jax.make_array_from_process_local_data(NamedSharding(mesh, P()), x)
         if x.ndim > 0 and x.shape[0] % n == 0:
             return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
         return jax.device_put(x, NamedSharding(mesh, P()))

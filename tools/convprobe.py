@@ -103,11 +103,95 @@ def conv3d_packed(x, w, s):
     return out
 
 
-def wgrad(convfn, x, w, s):
-    def loss(w):
-        return jnp.sum(convfn(x, w, s).astype(jnp.float32) * 1e-6)
+def conv3d_tapfold(x, w, s):
+    # one conv2d with kd*F output channels over ALL D planes (no depth pad),
+    # then shifted lane-slice adds. Same FLOPs as as-2d, but the GEMM's output
+    # dimension is kd*F lanes instead of F (3x MXU utilization at F=32). The
+    # epilogue stays in flat channels (lane slices + pads) — the earlier
+    # 'packed' variant lost to a rank-6 (kd, F)-minor reshape, not the GEMM.
+    N, D, H, W, C = x.shape
+    kd = w.shape[0]
+    F = w.shape[-1]
+    pd = 1
+    x = x + s.astype(DT)
+    w_cat = jnp.moveaxis(w, 0, 3).reshape(3, 3, C, kd * F)
+    z = jax.lax.conv_general_dilated(
+        x.reshape(N * D, H, W, C), w_cat, (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(N, D, H, W, kd * F)
+    d_out = D + 2 * pd - kd + 1
+    out = None
+    for dz in range(kd):
+        lo = max(0, pd - dz)
+        hi = min(d_out, D + pd - dz)
+        sl = z[:, lo + dz - pd : hi + dz - pd, :, :, dz * F : (dz + 1) * F]
+        sl = jnp.pad(sl, ((0, 0), (lo, d_out - hi), (0, 0), (0, 0), (0, 0)))
+        out = sl if out is None else out + sl
+    return out
 
-    return jax.grad(loss)(w)
+
+def _conv2d(xs, w2):
+    return jax.lax.conv_general_dilated(
+        xs, w2, (1, 1), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _tapfold_epilogue(z, kd, F, D, pd=1):
+    N = z.shape[0]
+    d_out = D + 2 * pd - kd + 1
+    out = None
+    for dz in range(kd):
+        lo = max(0, pd - dz)
+        hi = min(d_out, D + pd - dz)
+        sl = z[:, lo + dz - pd : hi + dz - pd, :, :, dz * F : (dz + 1) * F]
+        sl = jnp.pad(sl, ((0, 0), (lo, d_out - hi), (0, 0), (0, 0), (0, 0)))
+        out = sl if out is None else out + sl
+    return out
+
+
+def conv3d_cinsplit_tapfold(x, w, s, chunk=32):
+    # sum over 32-wide input-channel chunks of tapfolded conv2ds: every GEMM
+    # is the (Cin=32 -> Cout=kd*F, K=288) shape measured fast (igrad profile)
+    N, D, H, W, C = x.shape
+    kd = w.shape[0]
+    F = w.shape[-1]
+    x = x + s.astype(DT)
+    w_cat = jnp.moveaxis(w, 0, 3).reshape(3, 3, C, kd * F)
+    xs = x.reshape(N * D, H, W, C)
+    z = None
+    for c0 in range(0, C, chunk):
+        zc = _conv2d(xs[..., c0 : c0 + chunk], w_cat[:, :, c0 : c0 + chunk])
+        z = zc if z is None else z + zc
+    z = z.reshape(N, D, H, W, kd * F)
+    return _tapfold_epilogue(z, kd, F, D)
+
+
+def conv3d_cinsplit(x, w, s, chunk=32):
+    # as-2d with the input channels additionally split into 32-wide chunks
+    N, D, H, W, C = x.shape
+    x = x + s.astype(DT)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        xs = xp[:, dz : dz + D].reshape(N * D, H, W, C)
+        for c0 in range(0, C, chunk):
+            o = _conv2d(xs[..., c0 : c0 + chunk], w[dz][:, :, c0 : c0 + chunk])
+            out = o if out is None else out + o
+    return out.reshape(N, D, H, W, -1)
+
+
+def wgrad(convfn, x, w, g, s):
+    """dL/dw with a RANDOM cotangent g. A constant cotangent (sum-loss grad)
+    lets XLA fold the backward conv of a broadcast operand — numbers measured
+    that way are fiction (a 'conv' with constant input is a box filter)."""
+    _, vjp = jax.vjp(lambda w_: convfn(x, w_, s), w)
+    return vjp(g)[0]
+
+
+def igrad(convfn, x, w, g, s):
+    """dL/dx with a RANDOM cotangent g (see wgrad note)."""
+    _, vjp = jax.vjp(lambda x_: convfn(x_, w, s), x)
+    return vjp(g)[0]
 
 
 def main(which):
@@ -121,6 +205,7 @@ def main(which):
         cin = xshape[-1]
         x = jnp.asarray(rs.rand(*xshape), dtype=DT)
         w = jnp.asarray(rs.rand(3, 3, 3, cin, cout) * 0.01, dtype=DT)
+        g = jnp.asarray(rs.rand(*xshape[:4], cout), dtype=DT)
         flops = 2 * 27 * cin * cout * np.prod(xshape[:4])
         if "ndhwc" in which:
             dt = timeit(conv3d_ndhwc, (x, w), label=f"{name} ndhwc fwd")
@@ -130,7 +215,7 @@ def main(which):
         if "conv2d" in which:
             dt = timeit(conv3d_as_2d, (x, w), label=f"{name} as-2d fwd")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
-            dt = timeit(lambda x, w, s: wgrad(conv3d_as_2d, x, w, s), (x, w), n=10, label=f"{name} as-2d wgrad")
+            dt = timeit(lambda x, w, g, s: wgrad(conv3d_as_2d, x, w, g, s), (x, w, g), n=10, label=f"{name} as-2d wgrad")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
         if "outslice" in which:
             dt = timeit(conv3d_outslice, (x, w), label=f"{name} outslice fwd")
@@ -142,6 +227,26 @@ def main(which):
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
             dt = timeit(lambda x, w, s: wgrad(conv3d_packed, x, w, s), (x, w), n=10, label=f"{name} packed wgrad")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "tapfold" in which:
+            dt = timeit(conv3d_tapfold, (x, w), label=f"{name} tapfold fwd")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+            dt = timeit(lambda x, w, g, s: wgrad(conv3d_tapfold, x, w, g, s), (x, w, g), n=10, label=f"{name} tapfold wgrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "igrad" in which:
+            dt = timeit(lambda x, w, g, s: igrad(conv3d_as_2d, x, w, g, s), (x, w, g), n=10, label=f"{name} as-2d igrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+            dt = timeit(lambda x, w, g, s: igrad(conv3d_tapfold, x, w, g, s), (x, w, g), n=10, label=f"{name} tapfold igrad")
+            print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "cinsplit" in which and cin > 32:
+            for fn, label in [(conv3d_cinsplit, "cinsplit"), (conv3d_cinsplit_tapfold, "cinsplit-tap")]:
+                dt = timeit(fn, (x, w), label=f"{name} {label} fwd")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+                dt = timeit(lambda x, w, g, s, fn=fn: wgrad(fn, x, w, g, s), (x, w, g), n=10,
+                            label=f"{name} {label} wgrad")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+                dt = timeit(lambda x, w, g, s, fn=fn: igrad(fn, x, w, g, s), (x, w, g), n=10,
+                            label=f"{name} {label} igrad")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
         if "ncdhw" in which:
             xt = jnp.moveaxis(x, -1, 1)
             wt = jnp.transpose(w, (4, 3, 0, 1, 2))
