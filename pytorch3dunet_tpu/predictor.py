@@ -347,11 +347,21 @@ class DSB2018Predictor(AbstractPredictor):
         self.save_segmentation = save_segmentation
 
     def __call__(self, test_loader):
-        for img, paths in test_loader:
-            pred = self._forward_2d(img)
-            dsb_save_batch(self.output_dir, paths, pred,
-                           save_segmentation=self.save_segmentation,
-                           pmaps_thershold=self.pmaps_threshold)
+        # overlap H5 writes with device compute (reference predictor.py:293-308
+        # uses a ProcessPoolExecutor(max_workers=32) for the same reason)
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=32) as executor:
+            futures = []
+            for img, paths in test_loader:
+                pred = self._forward_2d(img)
+                futures.append(executor.submit(
+                    dsb_save_batch, self.output_dir, paths, pred,
+                    save_segmentation=self.save_segmentation,
+                    pmaps_thershold=self.pmaps_threshold,
+                ))
+            for future in futures:
+                future.result()  # surface worker exceptions
 
     def _forward_2d(self, img: np.ndarray) -> np.ndarray:
         if self._forward_fn is None:

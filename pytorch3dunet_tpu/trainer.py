@@ -142,6 +142,13 @@ class UNetTrainer:
         self._rng = jax.random.PRNGKey(seed if seed is not None else 0)
         self._train_step_fn = None
         self._eval_step_fn = None
+        self._grad_fn = None
+        # TB image writes overlap with the next train step (reference uses a
+        # thread pool the same way, trainer.py:343-345)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._image_executor = ThreadPoolExecutor(max_workers=2, thread_name_prefix="tb-images")
+        self._image_futures = []
 
         if resume is not None:
             self.checkpoint_dir = os.path.split(resume)[0]
@@ -287,6 +294,10 @@ class UNetTrainer:
                 self._save_checkpoint(is_best=False)
             raise
         finally:
+            # drain pending TB image writes (and surface their exceptions)
+            for future in self._image_futures:
+                future.result()
+            self._image_futures = []
             if self._profiling:
                 jax.profiler.stop_trace()
                 self._profiling = False
@@ -358,7 +369,10 @@ class UNetTrainer:
                 self.writer.add_scalar("train_voxels_per_sec", self._step_voxels.avg, self.num_iterations)
                 self._log_images(np.asarray(raw), np.asarray(target_host), out_np, "train_")
                 if self.log_params:
-                    self._log_params()
+                    if self._grad_fn is None:
+                        self._grad_fn = self._build_grad_fn()
+                    grads = self._grad_fn(self.variables, step_rng, inp, target)
+                    self._log_params(grads)
 
             if self.should_stop():
                 return True
@@ -449,12 +463,41 @@ class UNetTrainer:
     def _log_lr(self):
         self.writer.add_scalar("learning_rate", self.lr_handle.lr, self.num_iterations)
 
-    def _log_params(self):
-        """Histograms of all parameters (reference trainer.py:415-419)."""
+    def _log_params(self, grads=None):
+        """Histograms of parameters AND gradients (reference trainer.py:415-419)."""
         flat = jax.tree_util.tree_flatten_with_path(self.variables.get("params", {}))[0]
         for path, leaf in flat:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
             self.writer.add_histogram(name, np.asarray(leaf), self.num_iterations)
+        if grads is not None:
+            for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                self.writer.add_histogram(name + "/grad", np.asarray(leaf), self.num_iterations)
+
+    def _build_grad_fn(self):
+        """Gradient-only step for histogram logging (runs at log cadence only,
+        so the hot step never carries grads back to the host)."""
+        model = self.model
+        loss_criterion = self.loss_criterion
+
+        def grads(variables, rng, inp, target):
+            aux_state = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss_fn(params):
+                if aux_state:
+                    (probs, logits), _ = model.module.apply(
+                        {"params": params, **aux_state}, inp, train=True,
+                        rngs={"dropout": rng}, mutable=list(aux_state),
+                    )
+                else:
+                    probs, logits = model.module.apply(
+                        {"params": params}, inp, train=True, rngs={"dropout": rng}
+                    )
+                return loss_criterion(logits, target)
+
+            return jax.grad(loss_fn)(variables["params"])
+
+        return jax.jit(grads)
 
     def _log_stats(self, phase: str, loss_avg: float, eval_score_avg: float):
         for tag, value in {
@@ -464,12 +507,15 @@ class UNetTrainer:
             self.writer.add_scalar(tag, value, self.num_iterations)
 
     def _log_images(self, input_ncdhw, target, prediction_ncdhw, prefix: str):
-        """Logs middle-slice images; all arrays in the reference NC(D)HW layout."""
+        """Logs middle-slice images; all arrays in the reference NC(D)HW layout.
+
+        Formatting + writing happens on a worker thread so it overlaps with
+        the next train step; formatter errors surface on the next call (a bad
+        image layout is a bug, not something to swallow).
+        """
         if input_ncdhw.ndim == 4:
             # 2D batches: add the singleton depth back for the formatter
             input_ncdhw = input_ncdhw[:, :, None] if input_ncdhw.shape[1] != 1 else input_ncdhw
-        if target.ndim == input_ncdhw.ndim - 1:
-            pass  # label map target: formatter handles NDHW
         inputs_map = {"inputs": input_ncdhw, "targets": target, "predictions": prediction_ncdhw}
         img_sources = {}
         for name, batch in inputs_map.items():
@@ -479,11 +525,17 @@ class UNetTrainer:
             else:
                 img_sources[name] = batch
 
-        for name, batch in img_sources.items():
-            try:
+        # surface exceptions from previously submitted image writes
+        for future in self._image_futures:
+            if future.done():
+                future.result()
+        self._image_futures = [f for f in self._image_futures if not f.done()]
+
+        iteration = self.num_iterations
+
+        def write_images():
+            for name, batch in img_sources.items():
                 for tag, image in self.tensorboard_formatter(name, batch):
-                    self.writer.add_image(prefix + tag, image, self.num_iterations)
-            except AssertionError:
-                # unsupported image layout for logging: skip silently, logging
-                # must never break training
-                continue
+                    self.writer.add_image(prefix + tag, image, iteration)
+
+        self._image_futures.append(self._image_executor.submit(write_images))

@@ -149,6 +149,31 @@ def _tapfold_epilogue(z, kd, F, D, pd=1):
     return out
 
 
+def _tapfold_epilogue2(z, F):
+    # out[:, d] = z0[d-1] + z1[d] + z2[d+1]: fused interior add (no pad
+    # materialization) + tiny edge planes, one concat along D
+    D = z.shape[1]
+    z0, z1, z2 = (z[..., i * F : (i + 1) * F] for i in range(3))
+    interior = z0[:, : D - 2] + z1[:, 1 : D - 1] + z2[:, 2:]
+    first = z1[:, :1] + z2[:, 1:2]
+    last = z0[:, D - 2 : D - 1] + z1[:, D - 1 :]
+    return jnp.concatenate([first, interior, last], axis=1)
+
+
+def conv3d_tapfold2(x, w, s, pad_cout=False):
+    # tapfold with the no-pad epilogue; optionally pads the folded output
+    # channels up to a multiple of 128 (Cout=128 measured FASTER than 96)
+    N, D, H, W, C = x.shape
+    kd = w.shape[0]
+    F = w.shape[-1]
+    x = x + s.astype(DT)
+    w_cat = jnp.moveaxis(w, 0, 3).reshape(3, 3, C, kd * F)
+    if pad_cout and (kd * F) % 128 != 0 and kd * F < 128:
+        w_cat = jnp.pad(w_cat, ((0, 0), (0, 0), (0, 0), (0, 128 - kd * F)))
+    z = _conv2d(x.reshape(N * D, H, W, C), w_cat).reshape(N, D, H, W, -1)
+    return _tapfold_epilogue2(z, F)
+
+
 def conv3d_cinsplit_tapfold(x, w, s, chunk=32):
     # sum over 32-wide input-channel chunks of tapfolded conv2ds: every GEMM
     # is the (Cin=32 -> Cout=kd*F, K=288) shape measured fast (igrad profile)
@@ -237,6 +262,17 @@ def main(which):
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
             dt = timeit(lambda x, w, g, s: igrad(conv3d_tapfold, x, w, g, s), (x, w, g), n=10, label=f"{name} tapfold igrad")
             print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+        if "tapfold2" in which:
+            for fn, label in [(conv3d_tapfold2, "tapfold2"),
+                              (lambda x, w, s: conv3d_tapfold2(x, w, s, pad_cout=True), "tapfold2-p128")]:
+                dt = timeit(fn, (x, w), label=f"{name} {label} fwd")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+                dt = timeit(lambda x, w, g, s, fn=fn: wgrad(fn, x, w, g, s), (x, w, g), n=10,
+                            label=f"{name} {label} wgrad")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
+                dt = timeit(lambda x, w, g, s, fn=fn: igrad(fn, x, w, g, s), (x, w, g), n=10,
+                            label=f"{name} {label} igrad")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOPs", flush=True)
         if "cinsplit" in which and cin > 32:
             for fn, label in [(conv3d_cinsplit, "cinsplit"), (conv3d_cinsplit_tapfold, "cinsplit-tap")]:
                 dt = timeit(fn, (x, w), label=f"{name} {label} fwd")
