@@ -218,6 +218,18 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
         self._raw_padded = None
         self._label = None
 
+    def preload(self):
+        """Loads the volumes into memory NOW. The process-mode DataLoader
+        calls this in the parent before forking its workers, so every worker
+        shares the arrays via copy-on-write pages instead of each reading its
+        own full copy of the volume (num_workers x volume RAM otherwise)."""
+        with h5py.File(self.file_path, "r") as f:
+            if self.phase in ("train", "val"):
+                if self._raw is None:
+                    self._raw = f[self.raw_internal_path][:]
+                if self._label is None and self.label_internal_path is not None and self.label_internal_path in f:
+                    self._label = f[self.label_internal_path][:]
+
     def get_raw_patch(self, idx):
         if self._raw is None:
             with h5py.File(self.file_path, "r") as f:

@@ -22,13 +22,18 @@ from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
-# each forked worker re-binds the dataset once (picked up by _process_fetch)
+# Fork-inherited dataset registry: the parent registers the (pre-loaded)
+# dataset here BEFORE creating the executor, and forked workers look it up by
+# key. With the 'fork' start method the registry (and the loaded numpy
+# volumes) arrive in the child via copy-on-write pages — no pickling, and all
+# workers SHARE the parent's volume memory instead of each loading a copy.
+_FORK_DATASETS: dict = {}
 _WORKER_DATASET = None
 
 
-def _init_process_worker(dataset):
+def _init_process_worker(key):
     global _WORKER_DATASET
-    _WORKER_DATASET = dataset
+    _WORKER_DATASET = _FORK_DATASETS[key]
     # re-seed numpy per worker so augmentations decorrelate across processes
     np.random.seed((os.getpid() * 7919) % (2**31))
 
@@ -93,6 +98,38 @@ class DataLoader:
             worker_mode = "process" if (self.num_workers > 1 and sys.platform.startswith("linux")) else "thread"
         assert worker_mode in ("thread", "process")
         self.worker_mode = worker_mode
+        self._executor = None
+
+    def _get_executor(self):
+        """Worker pool, created once and reused across epochs (the reference
+        re-forks per epoch via torch's persistent_workers=False default; we
+        keep workers alive — forking 32 processes per epoch is pure waste)."""
+        if self._executor is not None:
+            return self._executor
+        if self.worker_mode == "process":
+            import multiprocessing
+
+            # load volumes in the parent first: forked workers then share the
+            # arrays via copy-on-write instead of each reading its own copy
+            for ds in getattr(self.dataset, "datasets", [self.dataset]):
+                if hasattr(ds, "preload"):
+                    ds.preload()
+            key = id(self)
+            _FORK_DATASETS[key] = self.dataset
+            self._executor = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_process_worker,
+                initargs=(key,),
+            )
+        else:
+            self._executor = ThreadPoolExecutor(max_workers=self.num_workers, thread_name_prefix="loader")
+        return self._executor
+
+    def __del__(self):
+        if getattr(self, "_executor", None) is not None:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+        _FORK_DATASETS.pop(id(self), None)
 
     def __len__(self):
         n = len(self.dataset)
@@ -113,35 +150,24 @@ class DataLoader:
 
     def __iter__(self):
         batches = self._batch_indices()
+        executor = self._get_executor()
         if self.worker_mode == "process":
-            import multiprocessing
-
-            executor = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=_init_process_worker,
-                initargs=(self.dataset,),
-            )
             submit = lambda idx: executor.submit(_process_fetch, list(map(int, idx)))  # noqa: E731
             finalize = self.collate_fn  # collate in the parent (results are raw samples)
         else:
-            executor = ThreadPoolExecutor(max_workers=self.num_workers, thread_name_prefix="loader")
             submit = lambda idx: executor.submit(self._fetch, idx)  # noqa: E731
             finalize = None
 
+        window: deque = deque()
         try:
-            window: deque = deque()
+            for _ in range(self.prefetch_batches):
+                window.append(submit(next(batches)))
+        except StopIteration:
+            pass
+        while window:
+            result = window.popleft().result()
             try:
-                for _ in range(self.prefetch_batches):
-                    window.append(submit(next(batches)))
+                window.append(submit(next(batches)))
             except StopIteration:
                 pass
-            while window:
-                result = window.popleft().result()
-                try:
-                    window.append(submit(next(batches)))
-                except StopIteration:
-                    pass
-                yield finalize(result) if finalize is not None else result
-        finally:
-            executor.shutdown(wait=False, cancel_futures=True)
+            yield finalize(result) if finalize is not None else result

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from pytorch3dunet_tpu.models.se import ChannelSELayer3D, ChannelSpatialSELayer3D, SpatialSELayer3D
 from pytorch3dunet_tpu.ops import packed as packed_ops
 from pytorch3dunet_tpu.ops.conv import conv_nd
-from pytorch3dunet_tpu.ops.groupnorm import group_norm_act
 from pytorch3dunet_tpu.ops.interp import resize_spatial
 from pytorch3dunet_tpu.ops.packed import PackedArray, pack, unpack
 from pytorch3dunet_tpu.ops.pool import avg_pool, max_pool
@@ -53,31 +52,29 @@ def _apply_activation(char: str, x):
     raise ValueError(f"Unknown activation char: {char}")
 
 
-class GroupNormAct(nn.Module):
-    """GroupNorm (+ optionally fused activation) backed by the Pallas fused op.
+import os as _os
 
-    Parameter names match flax GroupNorm ('scale'/'bias') so checkpoints are
-    interchangeable. Statistics are fp32 (torch parity, eps=1e-5).
-    """
+_USE_RESHAPE_POOL = _os.environ.get("P3DUNET_RESHAPE_POOL", "1") == "1"
+
+
+class DenseGroupNorm(nn.Module):
+    """GroupNorm via plain axis reductions (ops/packed.py group_norm_act_dense):
+    avoids flax GroupNorm's big-tensor reshape, which costs layout copies on
+    TPU, and supports psum'd statistics under spatial model parallelism.
+    Parameter names match flax GroupNorm ('scale'/'bias')."""
 
     num_groups: int
     act: str = "none"
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
-        return group_norm_act(x, scale, bias, self.num_groups, 1e-5, self.act)
-
-
-import os as _os
-
-# fused-GN Pallas kernels currently measure slower than XLA's native GN
-# lowering on v5e (15.0 vs 20.0 Mvox/s end-to-end); off by default until the
-# kernel wins (see ops/groupnorm.py)
-_USE_FUSED_GN = _os.environ.get("P3DUNET_FUSED_GN", "0") == "1"
-_USE_RESHAPE_POOL = _os.environ.get("P3DUNET_RESHAPE_POOL", "1") == "1"
+        return packed_ops.group_norm_act_dense(
+            x, scale, bias, self.num_groups, 1e-5, self.act, axis_name=self.axis_name
+        )
 
 
 class PackedGroupNorm(nn.Module):
@@ -108,8 +105,16 @@ def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "non
     )
     if isinstance(x, PackedArray):
         return PackedGroupNorm(num_groups=num_groups, act=act, name=name)(x)
-    if _USE_FUSED_GN:
-        return GroupNormAct(num_groups=num_groups, act=act, name=name)(x)
+    from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis
+
+    sp_axis = active_spatial_axis()
+    if sp_axis is not None:
+        # spatial model parallelism: statistics psum over the shard axis
+        return DenseGroupNorm(num_groups=num_groups, act=act, axis_name=sp_axis, name=name)(x)
+    # reshape-free GN measured neutral vs flax GN on v5e (20.01 vs 20.07
+    # Mvox/s); opt-in for layout experiments
+    if _os.environ.get("P3DUNET_DENSE_GN", "0") == "1":
+        return DenseGroupNorm(num_groups=num_groups, act=act, name=name)(x)
     orig_dtype = x.dtype
     out = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32, name=name)(x.astype(jnp.float32))
     out = out.astype(orig_dtype)

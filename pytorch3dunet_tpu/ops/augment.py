@@ -149,6 +149,37 @@ def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma:
     return jnp.where(jax.random.uniform(kp) < execution_probability, deformed, x)
 
 
+def random_rotate(key, x, axes=((2, 1),), angle_spectrum: float = 30.0, spline_order: int = 1):
+    """Arbitrary-angle rotation in a randomly chosen spatial plane — device
+    analog of RandomRotate (transforms.py:93-139, scipy.ndimage.rotate with
+    reshape=False). Trilinear (order 1) for raw, nearest (order 0) for labels;
+    reflect boundary. Same key => identical plane/angle for raw and label."""
+    assert spline_order in (0, 1)
+    ka, kx = jax.random.split(key)
+    angle = jax.random.uniform(kx, (), minval=-angle_spectrum, maxval=angle_spectrum) * jnp.pi / 180.0
+    spatial = x.shape[:3]
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in spatial], indexing="ij")
+
+    def rotate_in(plane):
+        a0, a1 = plane
+        c0 = (spatial[a0] - 1) / 2.0
+        c1 = (spatial[a1] - 1) / 2.0
+        cos, sin = jnp.cos(angle), jnp.sin(angle)
+        g0, g1 = grids[a0] - c0, grids[a1] - c1
+        coords = list(grids)
+        coords[a0] = cos * g0 - sin * g1 + c0  # inverse-rotation sampling
+        coords[a1] = sin * g0 + cos * g1 + c1
+
+        def ch(c):
+            return map_coordinates(c, coords, order=spline_order, mode="reflect")
+
+        return jax.vmap(ch, in_axes=-1, out_axes=-1)(x.astype(jnp.float32))
+
+    idx = jax.random.randint(ka, (), 0, len(axes))
+    rotated = jax.lax.switch(idx, [partial(rotate_in, tuple(p)) for p in axes])
+    return rotated.astype(x.dtype)
+
+
 def paired_geometric(key, raw, label, axis_prob: float = 0.5, rot90: bool = True):
     """Applies the shared-geometry transforms (flip + rot90) to a raw/label
     pair with one key — the device analog of the Transformer seed pairing."""
@@ -167,10 +198,15 @@ def paired_geometric(key, raw, label, axis_prob: float = 0.5, rot90: bool = True
 
 # transforms that can move from the host pipeline onto the device
 DEVICE_MOVABLE = {
-    "RandomFlip", "RandomRotate90", "ElasticDeformation",
+    "RandomFlip", "RandomRotate90", "RandomRotate", "ElasticDeformation",
     "AdditiveGaussianNoise", "AdditivePoissonNoise", "GaussianBlur3D", "RandomContrast",
 }
-_PAIRED = {"RandomFlip", "RandomRotate90", "ElasticDeformation"}
+_PAIRED = {"RandomFlip", "RandomRotate90", "RandomRotate", "ElasticDeformation"}
+
+
+def _rotate_axes(cfg) -> tuple:
+    axes = cfg.get("axes") or [(1, 0), (2, 1), (2, 0)]
+    return tuple(tuple(a) for a in axes)
 
 
 def split_device_transforms(loaders_config: dict):
@@ -227,6 +263,13 @@ class DeviceAugmenter:
                     if square_hw:
                         raw = random_rotate90(k, raw)
                         label = random_rotate90(k, label)
+                elif name == "RandomRotate":
+                    cfg = entry["raw"]
+                    axes = _rotate_axes(cfg)
+                    spectrum = cfg.get("angle_spectrum", 30)
+                    raw = random_rotate(k, raw, axes, spectrum, spline_order=1)
+                    lab_f = random_rotate(k, label.astype(jnp.float32), axes, spectrum, spline_order=0)
+                    label = lab_f.astype(label.dtype) if label_is_int else lab_f
                 elif name == "ElasticDeformation":
                     cfg = entry["raw"]
                     kwargs = dict(
@@ -258,6 +301,8 @@ class DeviceAugmenter:
                     raw = random_flip(k, raw, cfg.get("axis_prob", 0.5))
                 elif name == "RandomRotate90" and square_hw:
                     raw = random_rotate90(k, raw)
+                elif name == "RandomRotate":
+                    raw = random_rotate(k, raw, _rotate_axes(cfg), cfg.get("angle_spectrum", 30), spline_order=1)
                 elif name == "ElasticDeformation":
                     raw = elastic_deformation(k, raw, spline_order=1,
                                               alpha=cfg.get("alpha", 2000), sigma=cfg.get("sigma", 50),

@@ -20,6 +20,9 @@ The parameter layout is identical to a plain 3D conv kernel
 reference-interop path (utils/torch_interop.py).
 """
 
+import functools
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -27,6 +30,87 @@ import jax.numpy as jnp
 from collections.abc import Sequence
 
 from pytorch3dunet_tpu.ops.packed import PackedArray
+
+
+def _conv2d_nhwc(xs, w2, ph, pw):
+    return jax.lax.conv_general_dilated(
+        xs, w2, (1, 1), [(ph, ph), (pw, pw)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _as2d(x, kernel, meta):
+    """Decomposed 3D conv: one 2D conv per depth tap over shifted slices."""
+    kd, kh, kw, pd, ph, pw = meta
+    N, D, H, W, C = x.shape
+    F = kernel.shape[-1]
+    if pd:
+        xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+    else:
+        xp = x
+    d_out = D + 2 * pd - kd + 1
+    out = None
+    for dz in range(kd):
+        xs = xp[:, dz : dz + d_out].reshape(N * d_out, H, W, C)
+        o = _conv2d_nhwc(xs, kernel[dz], ph, pw)
+        out = o if out is None else out + o
+    h_out, w_out = out.shape[1], out.shape[2]
+    return out.reshape(N, d_out, h_out, w_out, F)
+
+
+def _tapfold(x, kernel, meta):
+    """Tap-folded 3D conv: ONE 2D conv with kd*F output channels over all
+    planes, then depth-shifted channel-block adds. Same FLOPs as _as2d; the
+    single wide GEMM keeps more of the MXU busy when F >= 64 (measured on
+    v5e: L1 conv fwd 3.24 ms vs 4.11 ms, tools/convprobe.py)."""
+    kd, kh, kw, pd, ph, pw = meta
+    N, D, H, W, C = x.shape
+    F = kernel.shape[-1]
+    w_cat = jnp.moveaxis(kernel, 0, 3).reshape(kh, kw, C, kd * F)
+    z = _conv2d_nhwc(x.reshape(N * D, H, W, C), w_cat, ph, pw)
+    h_out, w_out = z.shape[1], z.shape[2]
+    z = z.reshape(N, D, h_out, w_out, kd * F)
+    d_out = D + 2 * pd - kd + 1
+    out = None
+    for dz in range(kd):
+        lo = max(0, pd - dz)
+        hi = min(d_out, D + pd - dz)
+        sl = z[:, lo + dz - pd : hi + dz - pd, :, :, dz * F : (dz + 1) * F]
+        sl = jnp.pad(sl, ((0, 0), (lo, d_out - hi), (0, 0), (0, 0), (0, 0)))
+        out = sl if out is None else out + sl
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv3d_mixed(x, kernel, meta, use_tapfold):
+    """Forward uses the formulation that measures fastest for the shape; the
+    backward always differentiates the as-2d form (both compute the same
+    function, so the as-2d VJP is exact — its wgrad measures faster)."""
+    if use_tapfold:
+        return _tapfold(x, kernel, meta)
+    return _as2d(x, kernel, meta)
+
+
+def _conv3d_mixed_fwd(x, kernel, meta, use_tapfold):
+    return _conv3d_mixed(x, kernel, meta, use_tapfold), (x, kernel)
+
+
+def _conv3d_mixed_bwd(meta, use_tapfold, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(lambda x_, k_: _as2d(x_, k_, meta), x, kernel)
+    return vjp(g)
+
+
+_conv3d_mixed.defvjp(_conv3d_mixed_fwd, _conv3d_mixed_bwd)
+
+
+def _use_tapfold(features: int, kd: int) -> bool:
+    # off by default: the isolated L1-conv forward win (3.24 vs 4.11 ms)
+    # did not survive composition with the surrounding ops (BENCH_NOTES r2)
+    return (
+        os.environ.get("P3DUNET_TAPFOLD", "0") == "1"
+        and features >= 64
+        and kd > 1
+    )
 
 
 class Conv3D(nn.Module):
@@ -59,28 +143,27 @@ class Conv3D(nn.Module):
             kernel = kernel.astype(self.dtype)
             buf = buf.astype(self.dtype)
 
-        if pd:
-            pad_cfg = [(0, 0)] * buf.ndim
-            pad_cfg[1] = (pd, pd)
-            xp = jnp.pad(buf, pad_cfg)
+        x5 = buf.reshape(N, D, H, W, C)  # bitcast for packed inputs
+        meta = (kd, kh, kw, pd, ph, pw)
+
+        # spatial model parallelism: when tracing under a 'space' mesh axis
+        # (parallel/spatial.py), fetch one halo plane per side from the
+        # neighbor shards over ICI and convolve without depth padding
+        from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis, halo_exchange_d
+
+        sp_axis = active_spatial_axis()
+        if sp_axis is not None and kd > 1:
+            assert pd == (kd - 1) // 2, "spatial sharding requires 'same' depth padding"
+            x5 = halo_exchange_d(x5, sp_axis, pd)
+            meta = (kd, kh, kw, 0, ph, pw)
+
+        if _use_tapfold(self.features, kd):
+            # custom_vjp: tapfold forward, as-2d backward
+            out = _conv3d_mixed(x5, kernel, meta, True)
         else:
-            xp = buf
-        d_out = D + 2 * pd - kd + 1
-
-        out = None
-        for dz in range(kd):
-            xs = xp[:, dz : dz + d_out].reshape(N * d_out, H, W, C)
-            o = jax.lax.conv_general_dilated(
-                xs,
-                kernel[dz],
-                window_strides=(1, 1),
-                padding=[(ph, ph), (pw, pw)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            out = o if out is None else out + o
-
-        h_out = H + 2 * ph - kh + 1
-        w_out = W + 2 * pw - kw + 1
+            # plain autodiff through the as-2d decomposition (default: the
+            # custom_vjp indirection itself measured ~1% slower end-to-end)
+            out = _as2d(x5, kernel, meta)
 
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
@@ -89,8 +172,9 @@ class Conv3D(nn.Module):
             out = out + bias
 
         if packed:
-            return PackedArray(out.reshape(N, d_out, h_out, w_out * self.features), self.features)
-        return out.reshape(N, d_out, h_out, w_out, self.features)
+            N_, d_out, h_out, w_out, F = out.shape
+            return PackedArray(out.reshape(N_, d_out, h_out, w_out * F), F)
+        return out
 
 
 class Conv2D(nn.Module):

@@ -6,6 +6,8 @@ uses half-pixel sample positions — the same convention as torch's
 align_corners=False default.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,12 +34,17 @@ def resize_spatial(x: jax.Array, target_spatial: tuple[int, ...], mode: str = "n
 
 
 def _upsample2_broadcast(x: jax.Array, axes: set[int]) -> jax.Array:
-    """Doubles the given axes with ONE broadcast_in_dim + reshape.
+    """Doubles the given axes; default is sequential jnp.repeat.
 
-    Sequential jnp.repeat per axis lowers to a rank-7 broadcast with a (2,128)
-    tile at ~100 GB/s on v5e; the explicit single broadcast measured 210 GB/s
-    (tools/upsampleprobe.py) — 2x faster on the decoder's dominant upsample.
+    An explicit single broadcast_in_dim measured 2x faster FORWARD in
+    isolation (210 vs 101 GB/s, tools/upsampleprobe.py) but its backward is
+    slower and it net-loses end-to-end on the train step (20.01 vs 19.78
+    Mvox/s, BENCH_NOTES r2) — so it ships opt-in via P3DUNET_UP2X=bc.
     """
+    if os.environ.get("P3DUNET_UP2X", "repeat") == "repeat":
+        for axis in sorted(axes):
+            x = jnp.repeat(x, 2, axis=axis)
+        return x
     bshape, bdims = [], []
     for i, s in enumerate(x.shape):
         bdims.append(len(bshape))

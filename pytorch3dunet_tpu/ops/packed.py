@@ -118,6 +118,45 @@ def concat_channels(a: PackedArray, b: PackedArray) -> PackedArray:
     return PackedArray(out.reshape(*lead, w * c), c)
 
 
+def group_norm_act_dense(x, scale, bias, num_groups: int, eps: float, act: str = "none",
+                         axis_name: str | None = None):
+    """GroupNorm on a plain channels-last tensor with NO big-tensor reshape.
+
+    flax GroupNorm reshapes the volume to (N, -1, G, C/G) for its statistics;
+    on TPU that reshape materializes layout copies and its backward
+    materializes full-volume broadcasts (measured while building the packed
+    variant below). Here the statistics come from plain axis reductions
+    (big tensor -> (N, C) in one lane-dense pass) and the affine applies with
+    per-channel vectors. Numerics: fp32 stats, fast variance, eps inside the
+    sqrt — torch GroupNorm parity, same as flax.
+    """
+    c, g = x.shape[-1], num_groups
+    n = x.shape[0]
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    count = np.prod([x.shape[a] for a in spatial_axes], dtype=np.float64) * (c // g)
+
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=spatial_axes).reshape(n, g, c // g).sum(axis=2)  # (n, g)
+    s2 = jnp.sum(jnp.square(xf), axis=spatial_axes).reshape(n, g, c // g).sum(axis=2)
+    if axis_name is not None:
+        # spatial model parallelism: statistics are GLOBAL over the sharded
+        # volume so normalization matches the unsharded model exactly
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        count = count * jax.lax.axis_size(axis_name)
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
+    mul = jax.lax.rsqrt(var + eps)  # (n, g)
+
+    s = mul[:, :, None] * scale.astype(jnp.float32).reshape(g, c // g)
+    b = bias.astype(jnp.float32).reshape(g, c // g) - mean[:, :, None] * s
+    bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    y = (xf * s.reshape(bshape) + b.reshape(bshape)).astype(x.dtype)
+    if act != "none":
+        y = {"relu": jax.nn.relu, "elu": jax.nn.elu, "leaky01": lambda v: jax.nn.leaky_relu(v, 0.01)}[act](y)
+    return y
+
+
 def group_norm_act(p: PackedArray, scale, bias, num_groups: int, eps: float, act: str = "none") -> PackedArray:
     """GroupNorm over a packed activation, fp32 statistics, optional fused act.
 

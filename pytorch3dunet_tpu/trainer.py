@@ -97,7 +97,7 @@ class UNetTrainer:
                  validate_iters=None, num_iterations=1, num_epoch=0, eval_score_higher_is_better=True,
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
                  max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False,
-                 device_augmenter=None):
+                 device_augmenter=None, spatial_sharding=False):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -112,6 +112,10 @@ class UNetTrainer:
         self.skip_train_validation = skip_train_validation
         self.max_val_images = max_val_images
         self.device = device
+        # spatial model parallelism: shard the patch's D axis across chips
+        # with halo-exchanged convs (parallel/spatial.py) — multi-chip speedup
+        # even at batch 1, which data parallelism cannot give
+        self.spatial_sharding = spatial_sharding
 
         logger.info(f"eval_score_higher_is_better: {eval_score_higher_is_better}")
         self.best_eval_score = float("-inf") if eval_score_higher_is_better else float("+inf")
@@ -205,6 +209,11 @@ class UNetTrainer:
         tx = self.tx
         mutable_keys = [k for k in (self.variables or {}) if k != "params"]
 
+        if self.spatial_sharding:
+            from pytorch3dunet_tpu.parallel.spatial import build_spatial_train_step
+
+            return build_spatial_train_step(model, loss_criterion, tx, self.mesh, mutable_keys)
+
         def step(variables, opt_state, rng, inp, target):
             aux_state = {k: v for k, v in variables.items() if k != "params"}
 
@@ -231,6 +240,11 @@ class UNetTrainer:
     def _build_eval_step(self):
         model = self.model
         loss_criterion = self.loss_criterion
+
+        if self.spatial_sharding:
+            from pytorch3dunet_tpu.parallel.spatial import build_spatial_eval_step
+
+            return build_spatial_eval_step(model, loss_criterion, self.mesh)
 
         def step(variables, inp, target):
             probs, logits = model.module.apply(variables, inp, train=False)
@@ -259,6 +273,17 @@ class UNetTrainer:
             # indexing works for numpy and (post-augment) jax arrays alike
             inp = inp[:, 0]
             target = target[:, 0]
+        if self.spatial_sharding:
+            from pytorch3dunet_tpu.parallel.spatial import (
+                choose_space_mesh, shard_spatial_batch, validate_spatial_model,
+            )
+
+            assert not is_model_2d(self.model), "spatial_sharding requires a 3D model"
+            if self.mesh is None:
+                validate_spatial_model(self.model)
+                self.mesh = choose_space_mesh(inp.shape[1], len(self.model.f_maps))
+                logger.info(f"Spatial mesh: patch D axis sharded over {self.mesh.devices.size} device(s)")
+            return shard_spatial_batch(self.mesh, (inp, target))
         if self.mesh is None:
             self.mesh = choose_data_mesh(inp.shape[0])
             logger.info(f"Data-parallel mesh: {self.mesh.devices.size} device(s)")

@@ -180,8 +180,17 @@ class ConstantLR(_Scheduler):
 
 
 class LambdaLR(_Scheduler):
+    """`lr_lambda` accepts a callable or — for YAML configs, where callables
+    cannot be expressed — a Python expression string in `epoch`, e.g.
+    `lr_lambda: "0.95 ** epoch"` (evaluated with `math` available)."""
+
     def __init__(self, optimizer, lr_lambda, **kwargs):
         super().__init__(optimizer)
+        if isinstance(lr_lambda, str):
+            import math
+
+            code = compile(lr_lambda, "<lr_lambda>", "eval")
+            lr_lambda = lambda epoch: eval(code, {"__builtins__": {}, "math": math}, {"epoch": epoch})  # noqa: E731,S307
         self.lr_lambda = lr_lambda
 
     def get_lr(self):

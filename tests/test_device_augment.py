@@ -110,3 +110,37 @@ class TestSemantics:
 
         y = pipeline(jax.random.PRNGKey(0), x)
         assert y.shape == x.shape
+
+
+class TestRandomRotate:
+    def test_same_key_deterministic(self):
+        from pytorch3dunet_tpu.ops.augment import random_rotate
+
+        x = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 1).astype(np.float32))
+        a = random_rotate(jax.random.PRNGKey(3), x, ((2, 1),), 45, 1)
+        b = random_rotate(jax.random.PRNGKey(3), x, ((2, 1),), 45, 1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_paired_label_follows_raw(self):
+        from pytorch3dunet_tpu.ops.augment import random_rotate
+
+        # binary blob: rotating raw (order 1) and label (order 0) with the
+        # same key keeps the supports overlapping almost everywhere
+        vol = np.zeros((8, 24, 24, 1), np.float32)
+        vol[2:6, 8:16, 8:16] = 1.0
+        key = jax.random.PRNGKey(11)
+        raw = np.asarray(random_rotate(key, jnp.asarray(vol), ((2, 1),), 45, 1))
+        lab = np.asarray(random_rotate(key, jnp.asarray(vol), ((2, 1),), 45, 0))
+        inter = np.logical_and(raw > 0.5, lab > 0.5).sum()
+        union = np.logical_or(raw > 0.5, lab > 0.5).sum()
+        assert inter / union > 0.85
+
+    def test_rotation_moves_mass(self):
+        from pytorch3dunet_tpu.ops.augment import random_rotate
+
+        vol = np.zeros((4, 20, 20, 1), np.float32)
+        vol[:, 2:6, 9:11] = 1.0  # off-center bar
+        out = np.asarray(random_rotate(jax.random.PRNGKey(1), jnp.asarray(vol), ((2, 1),), 45, 1))
+        assert not np.allclose(out, vol)
+        # interpolation preserves total mass approximately
+        assert abs(out.sum() - vol.sum()) / vol.sum() < 0.15

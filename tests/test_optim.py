@@ -142,3 +142,14 @@ def test_torch_checkpoint_autodetect(tmpdir):
     loaded = load_checkpoint(path)
     params = loaded["model_state_dict"]["params"]
     assert params["final_conv"]["kernel"].shape == (1, 1, 1, 8, 1)
+
+
+def test_lambda_lr_from_yaml_string():
+    """LambdaLR accepts an expression string so YAML configs can use it."""
+    from pytorch3dunet_tpu.utils.optim import OptimizerHandle, create_lr_scheduler
+
+    handle = OptimizerHandle(1.0)
+    sched = create_lr_scheduler({"name": "LambdaLR", "lr_lambda": "0.5 ** epoch"}, handle)
+    for _ in range(3):
+        sched.step()
+    assert abs(handle.lr - 0.125) < 1e-9

@@ -123,3 +123,19 @@ def test_sharded_fit_matches_single_device(tmpdir, monkeypatch):
     assert len(leaves1) == len(leaves8)
     for a, b in zip(leaves1, leaves8):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_fit_with_spatial_sharding(tmpdir):
+    """trainer.spatial_sharding: the patch's D axis shards across devices
+    (halo-exchanged convs); works end-to-end through fit() at batch 1."""
+    config = _config(tmpdir, batch_size=1, max_iters=2)
+    config["trainer"]["spatial_sharding"] = True
+    os.makedirs(config["trainer"]["checkpoint_dir"], exist_ok=True)
+
+    trainer = create_trainer(config)
+    trainer.fit()
+
+    # patch D=8, 2 levels (8 -> 4): largest even shard count is 4
+    assert trainer.mesh is not None and trainer.mesh.axis_names == ("space",)
+    assert trainer.mesh.devices.size == 4
+    assert os.path.exists(os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch"))
