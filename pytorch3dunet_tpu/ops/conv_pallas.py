@@ -132,6 +132,89 @@ def _conv3d_fwd_impl(x, w, b, th):
     )(xp, w_cat, b2)
 
 
+def _fwd_kernel_roll(x_hbm, w_ref, b_ref, out_ref, x_vmem, ring, sem, *, TH, W, WP, C, F):
+    """Variant 2: tap shifts via contiguous flat-buffer rolls instead of
+    im2col. x_vmem is viewed as ((TH+2)*WP, C); the (kh, kw) tap's patch rows
+    live at a contiguous sublane offset kh*WP + kw, so each tap is one roll +
+    one accumulating (M, C) @ (C, 3F) dot. Output columns j >= W are garbage
+    from the row wrap and are cropped at emit."""
+    h = pl.program_id(0)
+    p = pl.program_id(1)
+
+    # one spare row-chunk beyond the TH+2 DMA'd rows: the last tap's flat
+    # slice reads 2 rows past the block (they only feed cropped columns)
+    dma = pltpu.make_async_copy(x_hbm.at[p, pl.ds(h * TH, TH + 2)], x_vmem.at[pl.ds(0, TH + 2)], sem)
+    dma.start()
+    dma.wait()
+
+    cp = x_vmem.shape[-1]
+    x_flat = x_vmem[:].reshape((TH + 3) * WP, cp)[:, :C]
+    m = TH * WP
+    z = None
+    for kh in range(3):
+        for kw in range(3):
+            off = kh * WP + kw
+            shifted = x_flat[off : off + m]
+            zz = jax.lax.dot_general(
+                shifted, w_ref[pl.ds((kh * 3 + kw) * C, C), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            z = zz if z is None else z + zz
+
+    s0 = jax.lax.rem(p, 3)
+    s1 = jax.lax.rem(p + 2, 3)
+    s2 = jax.lax.rem(p + 1, 3)
+    ring[s0] = z[:, 0:F]
+
+    @pl.when(p >= 1)
+    def _():
+        ring[s1] = ring[s1] + z[:, F : 2 * F]
+
+    @pl.when(p >= 2)
+    def _():
+        acc = ring[s2] + z[:, 2 * F : 3 * F] + b_ref[:].astype(jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype).reshape(1, TH, WP, F)[:, :, :W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("th",))
+def _conv3d_fwd_impl_roll(x, w, b, th):
+    """Roll-variant driver; same contract as _conv3d_fwd_impl."""
+    D, H, W, C = x.shape
+    F = w.shape[-1]
+    TH = th
+    wp = -(-(W + 2) // 8) * 8
+    cp = -(-C // 128) * 128
+    xp = jnp.pad(x, ((1, 1), (1, 1), (1, wp - W - 1), (0, cp - C)))
+    w_cat = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(9 * C, 3 * F)
+    b2 = b.reshape(1, F)
+
+    grid = (H // TH, D + 2)
+    kernel = functools.partial(_fwd_kernel_roll, TH=TH, W=W, WP=wp, C=C, F=F)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9 * C, 3 * F), lambda h, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda h, p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, F),
+            lambda h, p: (jnp.maximum(p - 2, 0), h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((D, H, W, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 3, wp, cp), x.dtype),
+            pltpu.VMEM((3, TH * wp, F), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(xp, w_cat, b2)
+
+
 def supported(x_shape, kernel_size, padding, backend=None) -> bool:
     """Whether the fused forward kernel covers this conv instance."""
     if not (_INTERPRET or (backend or jax.default_backend()) == "tpu"):
@@ -144,15 +227,22 @@ def supported(x_shape, kernel_size, padding, backend=None) -> bool:
     return _choose_th(H) is not None
 
 
-def conv3d_fwd(x, w, b=None):
-    """Batched fused forward: x (N, D, H, W, C), w (3,3,3,C,F), b (F,) or None."""
+def conv3d_fwd(x, w, b=None, variant: str = "roll"):
+    """Batched fused forward: x (N, D, H, W, C), w (3,3,3,C,F), b (F,) or None.
+
+    Status (v5e, 96->32 full-res, tools/pallasconvprobe.py): 'roll'
+    (contiguous-slice taps, 9 accumulating dots) runs 13.3 ms; 'im2col'
+    (strided-window patch matrix, one K=9C dot) runs 34 ms; XLA's as-2d
+    decomposition runs 8.4 ms and remains the production path. Experimental.
+    """
     N = x.shape[0]
     F = w.shape[-1]
     th = _choose_th(x.shape[2])
+    impl = _conv3d_fwd_impl_roll if variant == "roll" else _conv3d_fwd_impl
     if b is None:
         b = jnp.zeros((F,), jnp.float32)
     b = b.astype(x.dtype)
     w = w.astype(x.dtype)
     if N == 1:
-        return _conv3d_fwd_impl(x[0], w, b, th)[None]
-    return jax.lax.map(lambda xi: _conv3d_fwd_impl(xi, w, b, th), x)
+        return impl(x[0], w, b, th)[None]
+    return jax.lax.map(lambda xi: impl(xi, w, b, th), x)

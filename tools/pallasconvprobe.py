@@ -20,7 +20,15 @@ import os
 _TH = int(os.environ.get("PROBE_TH", "0"))
 
 
+_ROLL = os.environ.get("PROBE_ROLL", "0") == "1"
+
+
 def pallas_fwd(x, w, s):
+    if _ROLL:
+        xs = x + s.astype(DT)
+        impl = conv_pallas._conv3d_fwd_impl_roll
+        th = _TH or conv_pallas._choose_th(x.shape[2])
+        return impl(xs[0], w.astype(xs.dtype), jnp.zeros((w.shape[-1],), xs.dtype), th)[None]
     if _TH:
         xs = x + s.astype(DT)
         return conv_pallas._conv3d_fwd_impl(
