@@ -159,6 +159,65 @@ def build_spatial_train_step(model, loss_criterion, tx, mesh: Mesh, mutable_keys
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
+def dp_sp_mesh(n_data: int, n_space: int) -> Mesh:
+    """2-D mesh composing data and spatial parallelism: ('data', 'space')."""
+    devices = np.asarray(jax.devices()[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devices, ("data", SPACE_AXIS))
+
+
+def build_dp_sp_train_step(model, loss_criterion, tx, mesh: Mesh):
+    """Composed DP x SP train step over a ('data', 'space') mesh: the batch
+    axis shards over 'data', the patch's D axis over 'space'. Gradients
+    pmean over 'space' (gathered-loss convention, see build_spatial_train_step)
+    and over 'data' (per-shard batch-mean losses) — together: the global
+    batch-mean gradient, exactly as on one device."""
+    data_axis, sp_axis = mesh.axis_names
+
+    def shard_fn(variables, opt_state, rng, inp, target):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(sp_axis))
+
+        def loss_fn(params):
+            with spatial_axis(sp_axis):
+                probs, logits = model.module.apply(
+                    {"params": params}, inp, train=True, rngs={"dropout": rng}
+                )
+            logits_full = jax.lax.all_gather(logits, sp_axis, axis=1, tiled=True)
+            target_full = jax.lax.all_gather(target, sp_axis, axis=1, tiled=True)
+            return loss_criterion(logits_full, target_full), probs
+
+        (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        grads = jax.lax.pmean(jax.lax.pmean(grads, sp_axis), data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
+        return {"params": new_params}, new_opt_state, loss, probs
+
+    rep = P()
+    sharded = P(data_axis, sp_axis)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, sharded, sharded),
+        out_specs=(rep, rep, rep, sharded),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+def shard_dp_sp_batch(mesh: Mesh, tree):
+    """(N, D, ...) arrays: N over 'data', D over 'space'."""
+    data_axis, sp_axis = mesh.axis_names
+
+    def _put(x):
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+        spec = P(data_axis, sp_axis) if x.ndim >= 2 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
 def build_spatial_eval_step(model, loss_criterion, mesh: Mesh):
     """Forward + loss over the spatial mesh (validation counterpart)."""
     axis = mesh.axis_names[0]

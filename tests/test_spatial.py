@@ -89,3 +89,37 @@ def test_spatial_forward_only_probs_sharded():
     xi, yi = shard_spatial_batch(mesh, (x, y))
     _, _, _, probs = step(vs, os_, jax.random.PRNGKey(0), xi, yi)
     assert probs.shape == (1, *PATCH, 1)
+
+
+def test_dp_sp_composed_matches_single_device():
+    """2-D mesh (batch over 'data' x D over 'space'): one composed train step
+    equals the single-device step on the same global batch."""
+    from pytorch3dunet_tpu.parallel.spatial import (
+        build_dp_sp_train_step, dp_sp_mesh, shard_dp_sp_batch,
+    )
+
+    model = get_model(dict(CFG))
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=PATCH)
+    tx = optax.sgd(1e-2)
+    opt_state = tx.init(variables["params"])
+    loss = BCEDiceLoss()
+    rs = np.random.RandomState(3)
+    x = rs.rand(2, *PATCH, 1).astype(np.float32)  # batch 2
+    y = (rs.rand(2, *PATCH, 1) > 0.5).astype(np.float32)
+
+    ref_params, ref_loss, _ = _single_device_step(
+        model, variables, tx, opt_state, loss, jnp.asarray(x), jnp.asarray(y)
+    )
+
+    mesh = dp_sp_mesh(2, 4)  # 2 batch shards x 4 spatial shards = 8 devices
+    step = build_dp_sp_train_step(model, loss, tx, mesh)
+    vs = replicate_spatial(mesh, variables)
+    os_ = replicate_spatial(mesh, tx.init(variables["params"]))
+    xi, yi = shard_dp_sp_batch(mesh, (x, y))
+    new_vs, _, sp_loss, probs = step(vs, os_, jax.random.PRNGKey(1), xi, yi)
+
+    assert probs.shape == (2, *PATCH, 1)
+    np.testing.assert_allclose(float(sp_loss), ref_loss, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(new_vs["params"])),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
