@@ -38,7 +38,7 @@ def _batches():
         yield x, y
 
 
-@pytest.mark.parametrize("loss_name", ["DiceLoss", "BCEWithLogitsLoss"])
+@pytest.mark.parametrize("loss_name", ["DiceLoss", "BCEWithLogitsLoss", "GeneralizedDiceLoss", "BCEDiceLoss"])
 def test_sgd_loss_trajectory_matches_reference(loss_name):
     if not _import_reference():
         pytest.skip("reference package not importable")
@@ -94,3 +94,55 @@ def test_sgd_loss_trajectory_matches_reference(loss_name):
     )
     # the trajectory must actually train, not sit still
     assert torch_losses[-1] < torch_losses[0]
+
+
+def test_adam_loss_trajectory_matches_reference():
+    """Adam parity: torch.optim.Adam and optax.adam share the update rule
+    (bias-corrected moments, eps outside the sqrt-root term); the trajectory
+    must track within a slightly looser tolerance than SGD."""
+    if not _import_reference():
+        pytest.skip("reference package not importable")
+    import optax as _optax
+    from pytorch3dunet.unet3d.losses import get_loss_criterion as torch_get_loss
+    from pytorch3dunet.unet3d.model import get_model as torch_get_model
+
+    torch.manual_seed(0)
+    tmodel = torch_get_model(dict(CFG))
+    tmodel.train()
+    tcrit = torch_get_loss({"loss": {"name": "DiceLoss"}, "device": "cpu"})
+    topt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+
+    torch_losses = []
+    for x, y in _batches():
+        topt.zero_grad()
+        _, logits = tmodel(torch.from_numpy(x), return_logits=True)
+        loss = tcrit(logits, torch.from_numpy(y))
+        loss.backward()
+        topt.step()
+        torch_losses.append(float(loss.detach()))
+
+    torch.manual_seed(0)
+    t0 = torch_get_model(dict(CFG))
+    params = torch_state_dict_to_params({k: _np(v) for k, v in t0.state_dict().items()})
+    model = get_model(dict(CFG))
+    crit = get_loss_criterion({"loss": {"name": "DiceLoss"}})
+    tx = _optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            _, logits = model.module.apply({"params": p}, x, train=True)
+            return crit(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return _optax.apply_updates(params, updates), opt_state, loss
+
+    jax_losses = []
+    for x, y in _batches():
+        params, opt_state, loss = train_step(
+            params, opt_state, np.moveaxis(x, 1, -1), np.moveaxis(y, 1, -1))
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, atol=3e-3, rtol=3e-3)
