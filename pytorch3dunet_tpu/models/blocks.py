@@ -355,6 +355,131 @@ class ResNetBlockSE(nn.Module):
         return pack(out_u) if packed else out_u
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching Conv3D's scope layout ('kernel', 'bias')."""
+
+    shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_kernel_init, self.shape, jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.shape[-1],), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _AffineParams(nn.Module):
+    """Parameter holder matching flax GroupNorm's scope layout ('scale', 'bias')."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.channels,), jnp.float32),
+            self.param("bias", nn.initializers.zeros_init(), (self.channels,), jnp.float32),
+        )
+
+
+class FusedUpConcatConv1(nn.Module):
+    """SingleConv over concat([skip, nearest_up2x(xs)]) computed fused
+    (ops/upconv.py): per-branch GroupNorm stats, channel-split conv, phase
+    convs on the half-res branch. Parameter scopes are identical to the
+    generic SingleConv ('groupnorm', 'conv'), so checkpoints are
+    interchangeable and torch interop is unaffected.
+
+    Supports orders over {g, c, r, l, e} whose pre-conv part is '' or 'g'
+    (the flagship 'gcr' included); Decoder falls back to the generic path
+    otherwise.
+    """
+
+    out_channels: int
+    order: str = "gcr"
+    num_groups: int = 8
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, skip, xs):
+        from pytorch3dunet_tpu.ops.upconv import fused_up_concat_conv
+
+        in_channels = skip.shape[-1] + xs.shape[-1]
+        ci = self.order.index("c")
+        pre = self.order[:ci]
+        use_bias = not ("g" in self.order or "b" in self.order)
+
+        kernel, conv_bias = _ConvParams(
+            (3, 3, 3, in_channels, self.out_channels), use_bias, name="conv"
+        )()
+        gn_kwargs = {}
+        if pre == "g":
+            ng = self.num_groups if in_channels >= self.num_groups else 1
+            assert in_channels % ng == 0
+            scale, bias = _AffineParams(in_channels, name="groupnorm")()
+            gn_kwargs = dict(num_groups=ng, gn_scale=scale, gn_bias=bias)
+
+        x = fused_up_concat_conv(
+            skip, xs, kernel, conv_bias=conv_bias, dtype=self.dtype, **gn_kwargs
+        )
+
+        post = self.order[ci + 1 :]
+        skip_next = False
+        for j, char in enumerate(post):
+            if skip_next:
+                skip_next = False
+                continue
+            if char in "rle":
+                x = _apply_activation(char, x)
+            elif char == "g":
+                nxt = post[j + 1] if j + 1 < len(post) else ""
+                act = {"r": "relu", "l": "leaky01", "e": "elu"}.get(nxt, "none")
+                skip_next = act != "none"
+                x = group_norm(x, self.out_channels, self.num_groups, name="groupnorm", act=act)
+            else:
+                raise ValueError(f"unsupported post-conv op '{char}' in fused decoder")
+        return x
+
+
+class FusedDecoderDoubleConv(nn.Module):
+    """DoubleConv whose first conv consumes (skip, half-res x) directly via
+    FusedUpConcatConv1. Same parameter tree as the generic decoder DoubleConv."""
+
+    out_channels: int
+    order: str = "gcr"
+    num_groups: int = 8
+    dropout_prob: float | tuple = 0.1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, skip, xs, train: bool = False):
+        if isinstance(self.dropout_prob, (list, tuple)):
+            _, dropout2 = self.dropout_prob
+        else:
+            dropout2 = self.dropout_prob
+        x = FusedUpConcatConv1(
+            self.out_channels,
+            order=self.order,
+            num_groups=self.num_groups,
+            dtype=self.dtype,
+            name="SingleConv1",
+        )(skip, xs)
+        x = SingleConv(
+            self.out_channels,
+            kernel_size=3,
+            order=self.order,
+            num_groups=self.num_groups,
+            padding=1,
+            dropout_prob=dropout2,
+            spatial_rank=3,
+            dtype=self.dtype,
+            name="SingleConv2",
+        )(x, train=train)
+        return x
+
+
 _BASIC_MODULES = {
     "DoubleConv": DoubleConv,
     "ResNetBlock": ResNetBlock,
@@ -459,10 +584,43 @@ class Decoder(nn.Module):
     spatial_rank: int = 3
     dtype: jnp.dtype | None = None
 
+    def _fused_path_ok(self, encoder_features, x, packed) -> bool:
+        """The fused upsample+concat+conv1 path (ops/upconv.py) applies to the
+        flagship decoder shape: nearest 2x (exact per-dim), concat joining,
+        DoubleConv with a {''|'g'}-prefix conv order, rank 3, unpacked,
+        no spatial model parallelism, 3^3 kernel with 'same' padding."""
+        if _os.environ.get("P3DUNET_FUSED_DECODER", "1") != "1":
+            return False
+        if packed or self.spatial_rank != 3:
+            return False
+        if not (self.concat and self.upsample_mode == "nearest" and self.basic_module == "DoubleConv"):
+            return False
+        if _to_tuple(self.conv_kernel_size, 3) != (3, 3, 3) or _to_tuple(self.padding, 3) != (1, 1, 1):
+            return False
+        if any(t != 2 * s for t, s in zip(encoder_features.shape[1:-1], x.shape[1:-1])):
+            return False
+        order = self.conv_layer_order
+        if "c" not in order or order[: order.index("c")] not in ("", "g"):
+            return False
+        if any(ch not in "gcrle" for ch in order):
+            return False
+        from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis
+
+        return active_spatial_axis() is None
+
     @nn.compact
     def __call__(self, encoder_features, x, train: bool = False):
         target_spatial = encoder_features.shape[1:-1]
         packed = isinstance(x, PackedArray)
+        if self._fused_path_ok(encoder_features, x, packed):
+            return FusedDecoderDoubleConv(
+                self.out_channels,
+                order=self.conv_layer_order,
+                num_groups=self.num_groups,
+                dropout_prob=self.dropout_prob,
+                dtype=self.dtype,
+                name="basic_module",
+            )(encoder_features, x, train=train)
         if self.upsample_mode == "deconv":
             # transposed conv with stride=scale_factor then nearest fix-up to the
             # exact encoder size (mirrors TransposeConvUpsampling semantics)

@@ -1,0 +1,113 @@
+"""Fused decoder joining (ops/upconv.py + blocks.FusedDecoderDoubleConv):
+exact equivalence with the naive upsample + concat + GroupNorm + conv path.
+
+Reference semantics: buildingblocks.py:387-493 (Decoder with
+InterpolateUpsampling(nearest) + concat joining + DoubleConv 'gcr')."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch3dunet_tpu.models.blocks import Decoder
+from pytorch3dunet_tpu.ops.conv import _as2d
+from pytorch3dunet_tpu.ops.upconv import fused_up_concat_conv, phase_conv_upsampled
+
+
+def _upsample2(x):
+    n, d, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :, None, :], (n, d, 2, h, 2, w, 2, c)
+    ).reshape(n, 2 * d, 2 * h, 2 * w, c)
+
+
+def test_phase_conv_matches_upsample_conv():
+    k = jax.random.PRNGKey(0)
+    xs = jax.random.normal(jax.random.fold_in(k, 1), (2, 3, 5, 4, 6))
+    W = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, 3, 6, 7))
+    ref = _as2d(_upsample2(xs), W, (3, 3, 3, 1, 1, 1))
+    got = phase_conv_upsampled(xs, W)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_up_concat_conv_with_groupnorm():
+    import flax.linen as nn
+
+    k = jax.random.PRNGKey(3)
+    xs = jax.random.normal(jax.random.fold_in(k, 1), (1, 3, 4, 5, 6))
+    skip = jax.random.normal(jax.random.fold_in(k, 2), (1, 6, 8, 10, 2))
+    W = jax.random.normal(jax.random.fold_in(k, 3), (3, 3, 3, 8, 5))
+    scale = jax.random.normal(jax.random.fold_in(k, 4), (8,)) + 1.0
+    bias = jax.random.normal(jax.random.fold_in(k, 5), (8,)) * 0.1
+
+    cat = jnp.concatenate([skip, _upsample2(xs)], -1)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=jnp.float32)
+    ref = _as2d(gn.apply({"params": {"scale": scale, "bias": bias}}, cat), W, (3, 3, 3, 1, 1, 1))
+    got = fused_up_concat_conv(skip, xs, W, num_groups=4, gn_scale=scale, gn_bias=bias)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    # gradients agree through both formulations
+    def loss_ref(W_, s_, x_):
+        c = jnp.concatenate([s_, _upsample2(x_)], -1)
+        o = _as2d(gn.apply({"params": {"scale": scale, "bias": bias}}, c), W_, (3, 3, 3, 1, 1, 1))
+        return (o**2).sum()
+
+    def loss_got(W_, s_, x_):
+        return (fused_up_concat_conv(s_, x_, W_, num_groups=4, gn_scale=scale, gn_bias=bias) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2))(W, skip, xs)
+    g_got = jax.grad(loss_got, (0, 1, 2))(W, skip, xs)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(b, a, atol=2e-3 * max(1.0, float(jnp.abs(a).max())))
+
+
+@pytest.mark.parametrize("order", ["gcr", "cr", "crg"])
+def test_decoder_fused_matches_generic(order):
+    dec_kwargs = dict(
+        out_channels=8,
+        basic_module="DoubleConv",
+        conv_layer_order=order,
+        num_groups=4,
+        upsample_mode="nearest",
+        concat=True,
+        spatial_rank=3,
+    )
+    k = jax.random.PRNGKey(11)
+    skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 8, 6, 10, 4))
+    x = jax.random.normal(jax.random.fold_in(k, 2), (1, 4, 3, 5, 8))
+
+    dec = Decoder(**dec_kwargs)
+    prev = os.environ.get("P3DUNET_FUSED_DECODER")
+    try:
+        os.environ["P3DUNET_FUSED_DECODER"] = "1"
+        v1 = dec.init(jax.random.PRNGKey(0), skip, x)
+        o1 = dec.apply(v1, skip, x)
+        os.environ["P3DUNET_FUSED_DECODER"] = "0"
+        v0 = dec.init(jax.random.PRNGKey(0), skip, x)
+        o0 = dec.apply(v0, skip, x)
+    finally:
+        if prev is None:
+            os.environ.pop("P3DUNET_FUSED_DECODER", None)
+        else:
+            os.environ["P3DUNET_FUSED_DECODER"] = prev
+
+    # identical parameter trees and initial values -> checkpoint compatible
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(o1, o0, atol=2e-4)
+
+
+def test_decoder_fused_fallback_on_non_2x():
+    """Non-exact 2x (e.g. 85 -> 42 pooling) must take the generic resize path."""
+    dec = Decoder(out_channels=8, conv_layer_order="gcr", num_groups=4, spatial_rank=3)
+    k = jax.random.PRNGKey(5)
+    skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 8, 7, 10, 4))  # 7 != 2*3
+    x = jax.random.normal(jax.random.fold_in(k, 2), (1, 4, 3, 5, 8))
+    v = dec.init(jax.random.PRNGKey(0), skip, x)
+    out = dec.apply(v, skip, x)
+    assert out.shape == (1, 8, 7, 10, 8)
+    # and the fused param names are still the generic ones
+    assert "SingleConv1" in v["params"]["basic_module"]
