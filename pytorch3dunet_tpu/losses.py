@@ -28,6 +28,19 @@ def flatten(tensor: jax.Array) -> jax.Array:
     return jnp.moveaxis(tensor, -1, 0).reshape(tensor.shape[-1], -1)
 
 
+def _lane_major(input: jax.Array, target: jax.Array):
+    """Flatten spatial dims: (N, ..., C) -> (N, S, C).
+
+    On TPU, elementwise+reduce fusions over a channels-last tensor with C=1
+    (binary segmentation logits) run at ~1/10 of HBM bandwidth: the minor
+    dims tile as (sublanes=C, lanes=spatial) and waste 7/8 of every sublane.
+    Flattening the spatial dims first lets XLA lay the big axis across the
+    full (8, 128) tile. Loss values are unchanged (reductions are global or
+    per-channel, never per-spatial-dim)."""
+    n, c = input.shape[0], input.shape[-1]
+    return input.reshape(n, -1, c), target.reshape(n, -1, c)
+
+
 def compute_per_channel_dice(input, target, epsilon=1e-6, weight=None):
     """Per-channel Dice with the V-Net squared denominator (losses.py:11-37).
 
@@ -101,6 +114,7 @@ class _AbstractDiceLoss:
         raise NotImplementedError
 
     def __call__(self, input, target):
+        input, target = _lane_major(input, target)
         input = self._normalize(input)
         per_channel_dice = self.dice(input, target, weight=self.weight)
         return 1.0 - jnp.mean(per_channel_dice)
@@ -145,6 +159,7 @@ class BCEWithLogitsLoss:
         self.pos_weight = None if pos_weight is None else jnp.asarray(pos_weight, dtype=jnp.float32)
 
     def __call__(self, input, target):
+        input, target = _lane_major(input, target)
         return jnp.mean(_stable_bce_with_logits(input, target.astype(input.dtype), self.pos_weight))
 
 

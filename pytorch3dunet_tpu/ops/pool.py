@@ -14,7 +14,16 @@ here splits between them (torch/XLA route it to one element). Both are valid
 subgradients; ties are measure-zero for continuous activations.
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
+
+# "reshape" (default): windowed reshape + max/mean reduction.
+# "slice2": sequential per-axis pairwise max/mean over stride-2 slices — same
+# math, different lowering; the reshape form's backward materializes a
+# (d,2,h,2,w,2,C)-shaped broadcast that tiles poorly on TPU for C < 128.
+_POOL_MODE = os.environ.get("P3DUNET_POOL", "reshape")
 
 
 def _crop_to_multiple(x, window):
@@ -36,8 +45,38 @@ def _windowed(x, window):
     return x.reshape(shape)
 
 
+def _pair_reduce(x, window, op):
+    """Sequential per-axis pairwise reduce over stride-2 slices (k==2 axes)."""
+    for axis in reversed(range(1, 1 + len(window))):
+        k = window[axis - 1]
+        if k == 1:
+            continue
+        n = (x.shape[axis] // 2) * 2
+        a = jax.lax.slice_in_dim(x, 0, n, 2, axis)
+        b = jax.lax.slice_in_dim(x, 1, n, 2, axis)
+        x = op(a, b)
+    return x
+
+
+def _axis_reduce(x, window, op):
+    """Per-axis windowed reshape+reduce, minor spatial axis first."""
+    for axis in reversed(range(1, 1 + len(window))):
+        k = window[axis - 1]
+        if k == 1:
+            continue
+        n = (x.shape[axis] // k) * k
+        x = jax.lax.slice_in_dim(x, 0, n, 1, axis)
+        shape = x.shape[:axis] + (n // k, k) + x.shape[axis + 1 :]
+        x = op(x.reshape(shape), axis + 1)
+    return x
+
+
 def max_pool(x, window):
     """Max pooling with stride == window (torch floor semantics)."""
+    if _POOL_MODE == "axes":
+        return _axis_reduce(x, window, lambda v, ax: v.max(axis=ax))
+    if _POOL_MODE == "slice2" and all(k in (1, 2) for k in window):
+        return _pair_reduce(x, window, jnp.maximum)
     xw = _windowed(x, window)
     axes = tuple(2 + 2 * i for i in range(len(window)))
     return xw.max(axis=axes)
@@ -45,6 +84,14 @@ def max_pool(x, window):
 
 def avg_pool(x, window):
     """Average pooling with stride == window (torch floor semantics)."""
+    if _POOL_MODE == "axes":
+        scale = 1.0 / float(jnp.prod(jnp.asarray(window)))
+        out = _axis_reduce(x.astype(jnp.float32), window, lambda v, ax: v.sum(axis=ax))
+        return (out * scale).astype(x.dtype)
+    if _POOL_MODE == "slice2" and all(k in (1, 2) for k in window):
+        scale = 1.0 / (2 ** sum(1 for k in window if k == 2))
+        out = _pair_reduce(x.astype(jnp.float32), window, lambda a, b: a + b)
+        return (out * scale).astype(x.dtype)
     xw = _windowed(x, window)
     axes = tuple(2 + 2 * i for i in range(len(window)))
     return xw.mean(axis=axes, dtype=jnp.float32).astype(x.dtype)

@@ -32,8 +32,18 @@ InterpolateUpsampling + concat joining + DoubleConv with pre-conv GroupNorm
 for conv_layer_order='gcr').
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# "phase": 8 separate 2x2x2 phase convs + stack/interleave.
+# "wide" (default): one 3x3x3 conv with all 8 phase kernels zero-embedded
+#         along Cout (8*Co output channels -> N=256-wide GEMMs on the MXU,
+#         3.375x the MACs of "phase") followed by a channel-block
+#         depth-to-space. Measured faster end-to-end on v5e (BENCH_NOTES r2).
+def _upconv_mode():
+    return os.environ.get("P3DUNET_UPCONV", "wide")
 
 
 def _conv2d_valid(xs, w2):
@@ -61,6 +71,73 @@ def collapse_phase_kernels(kernel):
     return out
 
 
+def embed_wide_kernel(kernel):
+    """(3,3,3,Ci,Co) -> (3,3,3,Ci,8*Co): each output-channel block (a,b,c)
+    holds that phase's collapsed 2x2x2 kernel zero-embedded at spatial
+    offsets [a:a+2, b:b+2, c:c+2]. A single VALID 3^3 conv over the padded
+    half-res tensor then produces every upsample phase at once."""
+    kernels = collapse_phase_kernels(kernel)
+    blocks = []
+    i = 0
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                K = kernels[i]
+                i += 1
+                blocks.append(jnp.pad(K, ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0), (0, 0))))
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def depth_to_space_blocks(out, F):
+    """(N, d, h, w, 8F) channel-blocked phases (a,b,c | c fastest) ->
+    (N, 2d, 2h, 2w, F) interleaved full-res."""
+    N, d, h, w, _ = out.shape
+    out = out.reshape(N, d, h, w, 2, 2, 2, F)
+    return out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(N, 2 * d, 2 * h, 2 * w, F)
+
+
+def _upconv_wide_blocks(xs, kernel):
+    """All 8 upsample phases of conv3x3(up2x(xs)) as one VALID 3^3 conv:
+    (N, d, h, w, Ci) -> channel-blocked (N, d, h, w, 8F)."""
+    from pytorch3dunet_tpu.ops.conv import _as2d
+
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    return _as2d(xp, embed_wide_kernel(kernel), (3, 3, 3, 0, 0, 0))
+
+
+def _phase_conv_upsampled_wide(xs, kernel):
+    return depth_to_space_blocks(_upconv_wide_blocks(xs, kernel), kernel.shape[-1])
+
+
+def strided_conv_blocks(x, kernel):
+    """conv3x3(x, pad=1) evaluated at every output phase simultaneously:
+    ONE stride-2 conv with the 3^3 kernel zero-embedded per phase into a 4^3
+    envelope. (N, 2d, 2h, 2w, C) -> channel-blocked (N, d, h, w, 8F).
+
+    Output phase (a,b,c) needs full-res taps 2i+a+delta-1, delta in [0,3);
+    in the 4^3 stride-2 window starting at 2i-1 those are offsets [a, a+3)."""
+    N, D, H, W, C = x.shape
+    F = kernel.shape[-1]
+    d = D // 2
+    blocks = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                blocks.append(jnp.pad(kernel, ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0), (0, 0))))
+    k4 = jnp.concatenate(blocks, axis=-1)  # (4, 4, 4, C, 8F)
+
+    xp = jnp.pad(x, ((0, 0), (1, 2), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for u in range(4):
+        # depth tap u reads padded planes 2i+u, i in [0, d)
+        slab = jax.lax.slice_in_dim(xp, u, u + 2 * d - 1, 2, 1).reshape(N * d, H, W, C)
+        o = jax.lax.conv_general_dilated(
+            slab, k4[u], (2, 2), [(1, 2), (1, 2)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        out = o if out is None else out + o
+    return out.reshape(N, d, H // 2, W // 2, 8 * F)
+
+
 def phase_conv_upsampled(xs, kernel):
     """conv3x3(nearest_upsample_2x(xs), padding=1) without materializing the
     upsampled tensor: 8 phase convs with collapsed 2x2x2 kernels, interleaved.
@@ -68,6 +145,8 @@ def phase_conv_upsampled(xs, kernel):
     xs: (N, d, h, w, Ci); kernel: (3, 3, 3, Ci, Co).
     Returns (N, 2d, 2h, 2w, Co).
     """
+    if _upconv_mode() == "wide":
+        return _phase_conv_upsampled_wide(xs, kernel)
     N, d, h, w, _ = xs.shape
     F = kernel.shape[-1]
     xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
@@ -169,8 +248,15 @@ def fused_up_concat_conv(
 
     from pytorch3dunet_tpu.ops.conv import _as2d
 
-    out = _as2d(skip, kernel[:, :, :, :Cs, :], (3, 3, 3, 1, 1, 1))
-    out = out + phase_conv_upsampled(xs, kernel[:, :, :, Cs:, :])
+    if _upconv_mode() == "wide" and os.environ.get("P3DUNET_SKIPCONV", "fullres") == "strided":
+        # both branches in channel-blocked phase layout; ONE depth-to-space
+        F = kernel.shape[-1]
+        blocks = strided_conv_blocks(skip, kernel[:, :, :, :Cs, :])
+        blocks = blocks + _upconv_wide_blocks(xs, kernel[:, :, :, Cs:, :])
+        out = depth_to_space_blocks(blocks, F)
+    else:
+        out = _as2d(skip, kernel[:, :, :, :Cs, :], (3, 3, 3, 1, 1, 1))
+        out = out + phase_conv_upsampled(xs, kernel[:, :, :, Cs:, :])
     if conv_bias is not None:
         out = out + conv_bias.astype(out.dtype)
     return out

@@ -63,6 +63,46 @@ def test_fused_up_concat_conv_with_groupnorm():
         np.testing.assert_allclose(b, a, atol=2e-3 * max(1.0, float(jnp.abs(a).max())))
 
 
+def test_upconv_variants_identical():
+    """'wide' (zero-embedded single conv) and 'strided' skip blocks compute
+    the same function as the 8-phase formulation / plain conv."""
+    from pytorch3dunet_tpu.ops.upconv import (
+        _phase_conv_upsampled_wide,
+        depth_to_space_blocks,
+        strided_conv_blocks,
+    )
+
+    k = jax.random.PRNGKey(7)
+    xs = jax.random.normal(jax.random.fold_in(k, 1), (2, 3, 5, 4, 6))
+    W = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, 3, 6, 7))
+    np.testing.assert_allclose(
+        _phase_conv_upsampled_wide(xs, W), phase_conv_upsampled(xs, W), atol=1e-5
+    )
+    x = jax.random.normal(jax.random.fold_in(k, 3), (2, 6, 8, 10, 5))
+    W2 = jax.random.normal(jax.random.fold_in(k, 4), (3, 3, 3, 5, 7))
+    np.testing.assert_allclose(
+        depth_to_space_blocks(strided_conv_blocks(x, W2), 7),
+        _as2d(x, W2, (3, 3, 3, 1, 1, 1)),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("upconv,skipconv", [("phase", "fullres"), ("wide", "fullres"), ("wide", "strided")])
+def test_decoder_variants_match_generic(upconv, skipconv, monkeypatch):
+    monkeypatch.setenv("P3DUNET_UPCONV", upconv)
+    monkeypatch.setenv("P3DUNET_SKIPCONV", skipconv)
+    dec = Decoder(out_channels=8, conv_layer_order="gcr", num_groups=4, spatial_rank=3)
+    k = jax.random.PRNGKey(13)
+    skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 8, 6, 10, 4))
+    x = jax.random.normal(jax.random.fold_in(k, 2), (1, 4, 3, 5, 8))
+    monkeypatch.setenv("P3DUNET_FUSED_DECODER", "1")
+    v = dec.init(jax.random.PRNGKey(0), skip, x)
+    o1 = dec.apply(v, skip, x)
+    monkeypatch.setenv("P3DUNET_FUSED_DECODER", "0")
+    o0 = dec.apply(v, skip, x)
+    np.testing.assert_allclose(o1, o0, atol=2e-4)
+
+
 @pytest.mark.parametrize("order", ["gcr", "cr", "crg"])
 def test_decoder_fused_matches_generic(order):
     dec_kwargs = dict(
