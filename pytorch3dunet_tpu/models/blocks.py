@@ -111,8 +111,11 @@ def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "non
     if sp_axis is not None:
         # spatial model parallelism: statistics psum over the shard axis
         return DenseGroupNorm(num_groups=num_groups, act=act, axis_name=sp_axis, name=name)(x)
-    # reshape-free GN measured neutral vs flax GN on v5e (20.01 vs 20.07
-    # Mvox/s); opt-in for layout experiments
+    # Dense (reshape-free) GN with a compute-dtype apply: avoids the fp32
+    # full-volume materialization flax GN induces in bf16 (stats and apply
+    # share the .astype(f32)), but measured NEUTRAL end-to-end on v5e
+    # (23.90 vs 23.77 Mvox/s — the GN passes are latency-hidden), so the
+    # lower-rounding flax path stays the default. P3DUNET_DENSE_GN=1 enables.
     if _os.environ.get("P3DUNET_DENSE_GN", "0") == "1":
         return DenseGroupNorm(num_groups=num_groups, act=act, name=name)(x)
     orig_dtype = x.dtype

@@ -151,7 +151,15 @@ def group_norm_act_dense(x, scale, bias, num_groups: int, eps: float, act: str =
     s = mul[:, :, None] * scale.astype(jnp.float32).reshape(g, c // g)
     b = bias.astype(jnp.float32).reshape(g, c // g) - mean[:, :, None] * s
     bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
-    y = (xf * s.reshape(bshape) + b.reshape(bshape)).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        y = xf * s.reshape(bshape) + b.reshape(bshape)
+    else:
+        # apply in the compute dtype, reading the ORIGINAL tensor: if the
+        # apply consumed `xf` too, XLA materializes the fp32 convert (shared
+        # by stats + apply) as a full-volume fp32 tensor — 3x the HBM traffic
+        # of the op itself (measured, v5e). One extra bf16 rounding on the
+        # per-channel affine is the cost.
+        y = x * s.reshape(bshape).astype(x.dtype) + b.reshape(bshape).astype(x.dtype)
     if act != "none":
         y = {"relu": jax.nn.relu, "elu": jax.nn.elu, "leaky01": lambda v: jax.nn.leaky_relu(v, 0.01)}[act](y)
     return y

@@ -19,11 +19,14 @@ import os
 import jax
 import jax.numpy as jnp
 
-# "reshape" (default): windowed reshape + max/mean reduction.
-# "slice2": sequential per-axis pairwise max/mean over stride-2 slices — same
-# math, different lowering; the reshape form's backward materializes a
-# (d,2,h,2,w,2,C)-shaped broadcast that tiles poorly on TPU for C < 128.
-_POOL_MODE = os.environ.get("P3DUNET_POOL", "reshape")
+# "axes" (default): one windowed reshape+reduce per spatial axis, minor axis
+#   first. The all-axes-at-once "reshape" form's backward materializes a
+#   (d,2,h,2,w,2,C)-shaped broadcast that tiles terribly on TPU for C < 128
+#   (~9.5 ms/step in the UNet3D train step); per-axis reduction lowers to
+#   clean 2-element-minor broadcasts (measured +9% train throughput, v5e).
+# "reshape": single windowed reshape + max/mean over all axes.
+# "slice2": per-axis pairwise max/mean over stride-2 slices (measured slower).
+_POOL_MODE = os.environ.get("P3DUNET_POOL", "axes")
 
 
 def _crop_to_multiple(x, window):

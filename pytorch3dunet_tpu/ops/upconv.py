@@ -235,8 +235,17 @@ def fused_up_concat_conv(
         a_c = inv_c * gn_scale[None, :]
         b_c = gn_bias[None, :] - mean_c * a_c
         bshape = (N, 1, 1, 1, -1)
-        skip = skip.astype(jnp.float32) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
-        xs = xs.astype(jnp.float32) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
+        if dtype is not None and dtype != jnp.float32 and os.environ.get("P3DUNET_GN_APPLY", "f32") == "compute":
+            # normalize in the compute dtype from the ORIGINAL tensors: an
+            # fp32 apply shares the .astype(f32) with the stats sums and XLA
+            # materializes a full-volume fp32 copy. Measured neutral e2e on
+            # v5e (latency-hidden) -> opt-in, f32 apply keeps lower rounding.
+            a_c, b_c = a_c.astype(dtype), b_c.astype(dtype)
+            skip = skip.astype(dtype) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
+            xs = xs.astype(dtype) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
+        else:
+            skip = skip.astype(jnp.float32) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
+            xs = xs.astype(jnp.float32) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
 
     if dtype is not None:
         skip = skip.astype(dtype)
