@@ -215,6 +215,101 @@ def _conv3d_fwd_impl_roll(x, w, b, th):
     )(xp, w_cat, b2)
 
 
+def _fwd_kernel_packw(x_hbm, w_ref, b_ref, out_ref, x_vmem, ring, sem, *, TH, W, WP, C, F):
+    """Variant 3 ('packw'): ONE fat dot per tile with zero wasted MACs.
+
+    K packs the 3 kh taps (3C rows of the weight matrix), N packs kd*kw*F
+    (9F columns); the kw tap-shift moves to a cheap f32 epilogue of flat
+    row-shifted adds, and kd ring-accumulates across planes as usual.
+    GEMM per tile: (M+2, 3C) @ (3C, 9F) — for C=32 that is K=96, N=288:
+    full output lanes where the per-tap roll variant ran K=32, N=96 dots.
+
+      P[m, (kh c)]     = x_flat[m + kh*WP, c]
+      z[m, (kd kw f)]  = P @ Wp
+      out_kd[m]        = sum_kw z[m + kw, (kd, kw, :)]   (flat row shifts)
+
+    Row-wrap garbage only ever lands in columns j >= W (WP >= W + 2), which
+    are cropped at emit."""
+    h = pl.program_id(0)
+    p = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[p, pl.ds(h * TH, TH + 2)], x_vmem.at[pl.ds(0, TH + 2)], sem
+    )
+    dma.start()
+    dma.wait()
+
+    cp = x_vmem.shape[-1]
+    x_flat = x_vmem[:].reshape((TH + 3) * WP, cp)
+    M = TH * WP
+    M2 = M + 8  # sublane-aligned; rows beyond M+2 only feed cropped columns
+
+    patches = jnp.concatenate(
+        [x_flat[kh * WP : kh * WP + M2, :C] for kh in range(3)], axis=1
+    )  # (M2, 3C)
+    z = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)  # (M2, 9F)
+
+    def block(kd):
+        acc = None
+        for kw in range(3):
+            sl = z[kw : kw + M, (kd * 3 + kw) * F : (kd * 3 + kw + 1) * F]
+            acc = sl if acc is None else acc + sl
+        return acc
+
+    s0 = jax.lax.rem(p, 3)
+    s1 = jax.lax.rem(p + 2, 3)
+    s2 = jax.lax.rem(p + 1, 3)
+    ring[s0] = block(0)
+
+    @pl.when(p >= 1)
+    def _():
+        ring[s1] = ring[s1] + block(1)
+
+    @pl.when(p >= 2)
+    def _():
+        acc = ring[s2] + block(2) + b_ref[:].astype(jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype).reshape(1, TH, WP, F)[:, :, :W, :]
+
+
+@functools.partial(jax.jit, static_argnames=("th",))
+def _conv3d_fwd_impl_packw(x, w, b, th):
+    """packw-variant driver; same contract as _conv3d_fwd_impl."""
+    D, H, W, C = x.shape
+    F = w.shape[-1]
+    TH = th
+    wp = -(-(W + 2) // 8) * 8
+    cp = -(-C // 128) * 128
+    xp = jnp.pad(x, ((1, 1), (1, 1), (1, wp - W - 1), (0, cp - C)))
+    # rows (kh, c); cols (kd, kw, f)
+    w_cat = jnp.transpose(w, (1, 3, 0, 2, 4)).reshape(3 * C, 9 * F)
+    b2 = b.reshape(1, F)
+
+    grid = (H // TH, D + 2)
+    kernel = functools.partial(_fwd_kernel_packw, TH=TH, W=W, WP=wp, C=C, F=F)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3 * C, 9 * F), lambda h, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda h, p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, F),
+            lambda h, p: (jnp.maximum(p - 2, 0), h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((D, H, W, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 3, wp, cp), x.dtype),
+            pltpu.VMEM((3, TH * wp, F), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(xp, w_cat, b2)
+
+
 def supported(x_shape, kernel_size, padding, backend=None) -> bool:
     """Whether the fused forward kernel covers this conv instance."""
     if not (_INTERPRET or (backend or jax.default_backend()) == "tpu"):
@@ -238,7 +333,11 @@ def conv3d_fwd(x, w, b=None, variant: str = "roll"):
     N = x.shape[0]
     F = w.shape[-1]
     th = _choose_th(x.shape[2])
-    impl = _conv3d_fwd_impl_roll if variant == "roll" else _conv3d_fwd_impl
+    impl = {
+        "roll": _conv3d_fwd_impl_roll,
+        "packw": _conv3d_fwd_impl_packw,
+        "im2col": _conv3d_fwd_impl,
+    }[variant]
     if b is None:
         b = jnp.zeros((F,), jnp.float32)
     b = b.astype(x.dtype)

@@ -90,7 +90,11 @@ def embed_wide_kernel(kernel):
 
 def depth_to_space_blocks(out, F):
     """(N, d, h, w, 8F) channel-blocked phases (a,b,c | c fastest) ->
-    (N, 2d, 2h, 2w, F) interleaved full-res."""
+    (N, 2d, 2h, 2w, F) interleaved full-res.
+
+    A 'keep (c,F) as one 2F unit, move only a/b' transpose variant measured
+    SLOWER end-to-end (23.05 vs 23.93 Mvox/s, v5e) — the full 8-axis form
+    below is what XLA lowers best."""
     N, d, h, w, _ = out.shape
     out = out.reshape(N, d, h, w, 2, 2, 2, F)
     return out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(N, 2 * d, 2 * h, 2 * w, F)

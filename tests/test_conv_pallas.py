@@ -61,3 +61,16 @@ def test_bf16_accumulates_in_f32():
     # interior voxels: 27 * 16 * 0.01 * 1.001 ~ 4.32; bf16 output rounding only
     interior = (slice(None), slice(1, -1), slice(1, -1), slice(1, -1))
     np.testing.assert_allclose(got[interior], ref[interior], rtol=2e-2)
+
+
+@pytest.mark.parametrize("variant", ["roll", "packw", "im2col"])
+def test_fwd_variants_match(variant):
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.rand(1, 5, 16, 10, 6).astype(np.float32) - 0.5)
+    w = jnp.asarray((rs.rand(3, 3, 3, 6, 4) * 0.4 - 0.2).astype(np.float32))
+    b = jnp.asarray(rs.rand(4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(conv_pallas.conv3d_fwd(x, w, b, variant=variant)),
+        np.asarray(_ref(x, w, b)),
+        atol=2e-6,
+    )
