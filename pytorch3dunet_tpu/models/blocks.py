@@ -600,7 +600,14 @@ class Decoder(nn.Module):
             return False
         if _to_tuple(self.conv_kernel_size, 3) != (3, 3, 3) or _to_tuple(self.padding, 3) != (1, 1, 1):
             return False
-        if any(t != 2 * s for t, s in zip(encoder_features.shape[1:-1], x.shape[1:-1])):
+        # depth must be exactly 2x (it phase-folds); irregular H/W (nearest-
+        # resized on the half-depth tensor, depth-only phase fold) measured
+        # slightly SLOWER than the generic path on v5e (23.59 vs 23.93
+        # Mvox/s) and stays opt-in
+        if encoder_features.shape[1] != 2 * x.shape[1]:
+            return False
+        hw_exact = encoder_features.shape[2:-1] == tuple(2 * s for s in x.shape[2:-1])
+        if not hw_exact and _os.environ.get("P3DUNET_FUSED_DECODER_MIXED", "0") != "1":
             return False
         order = self.conv_layer_order
         if "c" not in order or order[: order.index("c")] not in ("", "g"):
@@ -616,6 +623,10 @@ class Decoder(nn.Module):
         target_spatial = encoder_features.shape[1:-1]
         packed = isinstance(x, PackedArray)
         if self._fused_path_ok(encoder_features, x, packed):
+            if encoder_features.shape[2:-1] != tuple(2 * s for s in x.shape[2:-1]):
+                # mixed exactness (e.g. 85 <- 42 pooling floor): bring H/W to
+                # target on the HALF-DEPTH tensor; only depth phase-folds
+                x = resize_spatial(x, (x.shape[1],) + tuple(encoder_features.shape[2:-1]), mode="nearest")
             return FusedDecoderDoubleConv(
                 self.out_channels,
                 order=self.conv_layer_order,

@@ -113,6 +113,36 @@ def _phase_conv_upsampled_wide(xs, kernel):
     return depth_to_space_blocks(_upconv_wide_blocks(xs, kernel), kernel.shape[-1])
 
 
+def embed_wide_kernel_d(kernel):
+    """Depth-only phase collapse: (3,3,3,Ci,Co) -> (3,3,3,Ci,2Co).
+
+    For conv3x3 o nearest_up2x_D (H/W already at target resolution):
+      out[2i+a] phase a=0 reads {x[i-1]*W0, x[i]*(W1+W2)},
+                phase a=1 reads {x[i]*(W0+W1), x[i+1]*W2},
+    zero-embedded into the 3-tap depth envelope; H/W taps stay as-is."""
+    w0, w1, w2 = kernel[0:1], kernel[1:2], kernel[2:3]
+    z = jnp.zeros_like(w0)
+    k0 = jnp.concatenate([w0, w1 + w2, z], axis=0)
+    k1 = jnp.concatenate([z, w0 + w1, w2], axis=0)
+    return jnp.concatenate([k0, k1], axis=-1)
+
+
+def _upconv_wide_blocks_d(m, kernel):
+    """conv3x3(nearest_up2x_D(m), pad=1) for both depth phases at once:
+    (N, d, H, W, Ci) -> depth-blocked (N, d, H, W, 2F)."""
+    from pytorch3dunet_tpu.ops.conv import _as2d
+
+    mp = jnp.pad(m, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    return _as2d(mp, embed_wide_kernel_d(kernel), (3, 3, 3, 0, 1, 1))
+
+
+def depth_to_space_blocks_d(out, F):
+    """(N, d, H, W, 2F) depth-phase blocks -> (N, 2d, H, W, F)."""
+    N, d, H, W, _ = out.shape
+    out = out.reshape(N, d, H, W, 2, F)
+    return out.transpose(0, 1, 4, 2, 3, 5).reshape(N, 2 * d, H, W, F)
+
+
 def strided_conv_blocks(x, kernel):
     """conv3x3(x, pad=1) evaluated at every output phase simultaneously:
     ONE stride-2 conv with the 3^3 kernel zero-embedded per phase into a 4^3
@@ -178,13 +208,14 @@ def phase_conv_upsampled(xs, kernel):
     return out
 
 
-def concat_group_stats(skip, xs, num_groups, eps=1e-5):
-    """GroupNorm statistics of concat([skip, upsample2x(xs)], -1) computed
+def concat_group_stats(skip, xs, num_groups, eps=1e-5, factor=8.0):
+    """GroupNorm statistics of concat([skip, upsample(xs)], -1) computed
     per-branch in fp32. Returns per-channel (scale-free) (mean_c_group,
     inv_std_c_group) broadcast back to each channel: shapes (N, C).
 
-    Exact: each xs voxel appears 2^3 times in the upsampled tensor, so its
-    per-channel sums scale by 8.
+    Exact: each xs voxel appears `factor` times in the upsampled tensor
+    (8 for a 2x nearest upsample in all three dims, 2 when only the depth
+    axis is phase-folded), so its per-channel sums scale by `factor`.
     """
     N, D, H, W, Cs = skip.shape
     Cu = xs.shape[-1]
@@ -197,8 +228,8 @@ def concat_group_stats(skip, xs, num_groups, eps=1e-5):
     x32 = xs.astype(jnp.float32)
     sum_s = s32.sum(axis=(1, 2, 3))
     sumsq_s = (s32 * s32).sum(axis=(1, 2, 3))
-    sum_u = 8.0 * x32.sum(axis=(1, 2, 3))
-    sumsq_u = 8.0 * (x32 * x32).sum(axis=(1, 2, 3))
+    sum_u = factor * x32.sum(axis=(1, 2, 3))
+    sumsq_u = factor * (x32 * x32).sum(axis=(1, 2, 3))
 
     sums = jnp.concatenate([sum_s, sum_u], axis=-1).reshape(N, num_groups, gs).sum(-1)
     sumsqs = jnp.concatenate([sumsq_s, sumsq_u], axis=-1).reshape(N, num_groups, gs).sum(-1)
@@ -225,17 +256,22 @@ def fused_up_concat_conv(
     """[optional GroupNorm] + conv3x3(pad=1) over concat([skip, up2x(xs)], -1),
     fused: no upsampled tensor, no concat, per-branch GN.
 
-    skip: (N, 2d, 2h, 2w, Cs); xs: (N, d, h, w, Cu);
+    skip: (N, 2d, 2h, 2w, Cs) with xs: (N, d, h, w, Cu)   [full mode], or
+    skip: (N, 2d, H, W, Cs) with xs: (N, d, H, W, Cu)      [depth-only mode:
+    xs already nearest-resized in H/W, only the depth axis phase-folds].
     kernel: (3, 3, 3, Cs+Cu, Co) — the SAME parameter a plain concat conv uses.
     When num_groups is given, gn_scale/gn_bias are the (Cs+Cu,) GroupNorm
     affine params applied BEFORE the conv (layer_order 'gc...').
-    Returns (N, 2d, 2h, 2w, Co).
+    Returns conv output at skip's resolution.
     """
     Cs = skip.shape[-1]
     N = skip.shape[0]
+    depth_only = skip.shape[2] == xs.shape[2]
+    assert skip.shape[1] == 2 * xs.shape[1]
+    factor = 2.0 if depth_only else 8.0
 
     if num_groups is not None:
-        mean_c, inv_c = concat_group_stats(skip, xs, num_groups, eps)
+        mean_c, inv_c = concat_group_stats(skip, xs, num_groups, eps, factor=factor)
         a_c = inv_c * gn_scale[None, :]
         b_c = gn_bias[None, :] - mean_c * a_c
         bshape = (N, 1, 1, 1, -1)
@@ -261,9 +297,12 @@ def fused_up_concat_conv(
 
     from pytorch3dunet_tpu.ops.conv import _as2d
 
-    if _upconv_mode() == "wide" and os.environ.get("P3DUNET_SKIPCONV", "fullres") == "strided":
+    F = kernel.shape[-1]
+    if depth_only:
+        out = _as2d(skip, kernel[:, :, :, :Cs, :], (3, 3, 3, 1, 1, 1))
+        out = out + depth_to_space_blocks_d(_upconv_wide_blocks_d(xs, kernel[:, :, :, Cs:, :]), F)
+    elif _upconv_mode() == "wide" and os.environ.get("P3DUNET_SKIPCONV", "fullres") == "strided":
         # both branches in channel-blocked phase layout; ONE depth-to-space
-        F = kernel.shape[-1]
         blocks = strided_conv_blocks(skip, kernel[:, :, :, :Cs, :])
         blocks = blocks + _upconv_wide_blocks(xs, kernel[:, :, :, Cs:, :])
         out = depth_to_space_blocks(blocks, F)

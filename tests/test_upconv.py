@@ -140,14 +140,35 @@ def test_decoder_fused_matches_generic(order):
     np.testing.assert_allclose(o1, o0, atol=2e-4)
 
 
-def test_decoder_fused_fallback_on_non_2x():
-    """Non-exact 2x (e.g. 85 -> 42 pooling) must take the generic resize path."""
+def test_decoder_mixed_exactness_matches_generic():
+    """Exact-2x depth with irregular H/W (the 85 <- 42 pooling-floor case)
+    takes the depth-only fused path; output equals the generic path."""
     dec = Decoder(out_channels=8, conv_layer_order="gcr", num_groups=4, spatial_rank=3)
     k = jax.random.PRNGKey(5)
-    skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 8, 7, 10, 4))  # 7 != 2*3
+    skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 8, 7, 11, 4))  # H,W odd
     x = jax.random.normal(jax.random.fold_in(k, 2), (1, 4, 3, 5, 8))
+    os.environ["P3DUNET_FUSED_DECODER"] = "1"
+    os.environ["P3DUNET_FUSED_DECODER_MIXED"] = "1"
+    try:
+        v = dec.init(jax.random.PRNGKey(0), skip, x)
+        o1 = dec.apply(v, skip, x)
+        os.environ["P3DUNET_FUSED_DECODER"] = "0"
+        o0 = dec.apply(v, skip, x)
+    finally:
+        os.environ.pop("P3DUNET_FUSED_DECODER", None)
+        os.environ.pop("P3DUNET_FUSED_DECODER_MIXED", None)
+    assert o1.shape == (1, 8, 7, 11, 8)
+    np.testing.assert_allclose(o1, o0, atol=2e-4)
+
+
+def test_decoder_fused_fallback_on_non_2x_depth():
+    """Non-exact 2x DEPTH must take the generic resize path."""
+    dec = Decoder(out_channels=8, conv_layer_order="gcr", num_groups=4, spatial_rank=3)
+    k = jax.random.PRNGKey(5)
+    skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 7, 6, 10, 4))  # 7 != 2*3
+    x = jax.random.normal(jax.random.fold_in(k, 2), (1, 3, 3, 5, 8))
     v = dec.init(jax.random.PRNGKey(0), skip, x)
     out = dec.apply(v, skip, x)
-    assert out.shape == (1, 8, 7, 10, 8)
+    assert out.shape == (1, 7, 6, 10, 8)
     # and the fused param names are still the generic ones
     assert "SingleConv1" in v["params"]["basic_module"]
