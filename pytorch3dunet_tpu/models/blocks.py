@@ -640,18 +640,51 @@ class Decoder(nn.Module):
             # exact encoder size (mirrors TransposeConvUpsampling semantics)
             strides = _to_tuple(self.scale_factor, self.spatial_rank)
             kernel = _to_tuple(self.conv_kernel_size, self.spatial_rank)
-            xu = nn.ConvTranspose(
-                self.out_channels,
-                kernel_size=kernel,
-                strides=strides,
-                padding=[(1, 1)] * self.spatial_rank,
-                use_bias=False,
-                dtype=self.dtype,
-                kernel_init=conv_kernel_init,
-                name="upsampling",
-            )(unpack(x) if packed else x)
-            xu = resize_spatial(xu, target_spatial, mode="nearest")
-            x = pack(xu) if packed else xu
+            from pytorch3dunet_tpu.parallel.spatial import (
+                active_spatial_axis,
+                halo_exchange_d,
+                spatial_deconv_fixup_indices,
+            )
+
+            sp_axis = active_spatial_axis()
+            if sp_axis is not None and self.spatial_rank == 3:
+                # spatial model parallelism: 2-plane halo, depth-uncropped
+                # transposed conv, then a local gather reproducing the global
+                # nearest fix-up (parallel/spatial.py)
+                assert strides == (2, 2, 2) and kernel == (3, 3, 3), (
+                    "spatial sharding supports deconv upsampling with kernel 3 / stride 2"
+                )
+                xin = unpack(x) if packed else x
+                xh = halo_exchange_d(xin, sp_axis, 2)
+                # depth padding (k-1, k-1) = the UNCROPPED transposed conv in
+                # D (lax.conv_transpose padding pads the dilated input); the
+                # fix-up gather below then crops/aligns per shard
+                xu = nn.ConvTranspose(
+                    self.out_channels,
+                    kernel_size=kernel,
+                    strides=strides,
+                    padding=[(2, 2), (1, 1), (1, 1)],
+                    use_bias=False,
+                    dtype=self.dtype,
+                    kernel_init=conv_kernel_init,
+                    name="upsampling",
+                )(xh)
+                xu = resize_spatial(xu, (xu.shape[1],) + tuple(target_spatial[1:]), mode="nearest")
+                xu = jnp.take(xu, spatial_deconv_fixup_indices(sp_axis, xin.shape[1]), axis=1)
+                x = pack(xu) if packed else xu
+            else:
+                xu = nn.ConvTranspose(
+                    self.out_channels,
+                    kernel_size=kernel,
+                    strides=strides,
+                    padding=[(1, 1)] * self.spatial_rank,
+                    use_bias=False,
+                    dtype=self.dtype,
+                    kernel_init=conv_kernel_init,
+                    name="upsampling",
+                )(unpack(x) if packed else x)
+                xu = resize_spatial(xu, target_spatial, mode="nearest")
+                x = pack(xu) if packed else xu
         elif self.upsample_mode is not None:
             if packed:
                 if self.upsample_mode == "nearest":

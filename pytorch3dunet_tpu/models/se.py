@@ -7,6 +7,7 @@ excitation matmuls map directly onto TPU reductions/MXU without transposes.
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -21,6 +22,13 @@ class ChannelSELayer3D(nn.Module):
     def __call__(self, x):
         # x: (N, D, H, W, C); squeeze over spatial dims
         squeezed = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (N, C)
+        from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis
+
+        sp_axis = active_spatial_axis()
+        if sp_axis is not None:
+            # spatial model parallelism: the squeeze is GLOBAL over the
+            # D-sharded volume; equal shard sizes make pmean-of-means exact
+            squeezed = jax.lax.pmean(squeezed, sp_axis)
         reduced = self.num_channels // self.reduction_ratio
         h = nn.Dense(reduced, dtype=self.dtype, name="fc1")(squeezed)
         h = nn.relu(h)

@@ -73,14 +73,33 @@ def choose_space_mesh(patch_d: int, num_levels: int) -> Mesh:
 
 
 def validate_spatial_model(model) -> None:
-    """Spatial sharding covers the DoubleConv families (3x3x3 'same' convs,
-    GroupNorm, max/avg pool, nearest upsampling). Deconv upsampling, SE blocks
-    and BatchNorm would need their own halo/psum wiring."""
+    """Spatial sharding covers every 3D model family: DoubleConv (3x3x3
+    'same' convs with halo exchange, psum'd GroupNorm, local pooling/nearest
+    upsampling) and the ResNet/SE families (psum'd SE squeeze in models/se.py,
+    halo'd + index-fixed deconv upsampling in the Decoder). BatchNorm remains
+    unsupported (its running stats are not psum-wired)."""
     assert model.is3d, "spatial sharding is for 3D models"
-    assert model.basic_module == "DoubleConv", (
-        f"spatial sharding supports DoubleConv models; got {model.basic_module}"
-    )
     assert "b" not in model.module.layer_order, "BatchNorm is not supported under spatial sharding"
+
+
+def spatial_deconv_fixup_indices(axis_name: str, d_local: int):
+    """Local D-gather indices reproducing `nearest-resize(2D-1 -> 2D)` of a
+    stride-2/kernel-3 transposed conv under D sharding.
+
+    The Decoder computes the transposed conv WITHOUT depth cropping on a
+    2-plane-haloed slab: local full-output plane j corresponds to global
+    torch-padded-output plane j + 2*(g0 - 2), i.e. global torch-out index
+    q = j + 2*g0 - 5 (torch pad=1 crops one plane). The nearest fix-up maps
+    final plane p to q(p) = floor(p * (2D-1) / (2D)) (torch index semantics,
+    ops/interp.py); solving for j gives the gather below. A halo of 2 planes
+    bounds every needed q within the local slab's valid region."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    D = n * d_local
+    t = jnp.arange(2 * d_local)
+    p = idx * (2 * d_local) + t
+    q = (p * (2 * D - 1)) // (2 * D)
+    return q - 2 * (idx * d_local) + 5
 
 
 def halo_exchange_d(x, axis_name: str, pad: int = 1):

@@ -123,3 +123,37 @@ def test_dp_sp_composed_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(new_vs["params"])),
                     jax.tree_util.tree_leaves(ref_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("name,order", [("ResidualUNet3D", "cge"), ("ResidualUNetSE3D", "cge")])
+def test_spatial_step_resnet_families(name, order):
+    """ResNet/SE families under spatial sharding: halo'd deconv upsampling
+    with the nearest fix-up gather, psum'd SE squeeze — exact vs unsharded."""
+    cfg = {"name": name, "in_channels": 1, "out_channels": 1, "f_maps": 8,
+           "num_groups": 4, "num_levels": 2, "layer_order": order, "final_sigmoid": True}
+    model = get_model(cfg)
+    patch = (32, 12, 12)
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=patch)
+    tx = optax.sgd(1e-2)
+    opt_state = tx.init(variables["params"])
+    loss = BCEDiceLoss()
+    rs = np.random.RandomState(3)
+    x = rs.rand(1, *patch, 1).astype(np.float32)
+    y = (rs.rand(1, *patch, 1) > 0.5).astype(np.float32)
+
+    ref_params, ref_loss, ref_probs = _single_device_step(
+        model, variables, tx, opt_state, loss, jnp.asarray(x), jnp.asarray(y)
+    )
+
+    mesh = space_mesh(2)
+    step = build_spatial_train_step(model, loss, tx, mesh)
+    vs = replicate_spatial(mesh, variables)
+    os_ = replicate_spatial(mesh, tx.init(variables["params"]))
+    xi, yi = shard_spatial_batch(mesh, (x, y))
+    new_vs, _, sp_loss, sp_probs = step(vs, os_, jax.random.PRNGKey(1), xi, yi)
+
+    np.testing.assert_allclose(float(sp_loss), ref_loss, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.device_get(sp_probs)), ref_probs, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(new_vs["params"])),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
