@@ -1,0 +1,60 @@
+"""Device-side sliding-window inference throughput on v5e (tunnel-immune).
+
+Measures the single-dispatch sweep (inference_device.DeviceSlidingWindow) on
+the canonical geometry: volume 128x320x320, patch 64x160x160, halo 8x16x16,
+bf16 compute — end-to-end voxels/sec including halo-overlap redundancy.
+"""
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow  # noqa: E402
+from pytorch3dunet_tpu.models import get_model  # noqa: E402
+
+
+def main():
+    model = get_model({
+        "name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 32,
+        "layer_order": "gcr", "num_groups": 8, "final_sigmoid": True,
+        "dtype": "bfloat16",
+    })
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(32, 64, 64))
+
+    vol = (128, 320, 320)
+    patch = (64, 160, 160)
+    halo = (8, 16, 16)
+    rs = np.random.RandomState(0)
+    padded = np.pad(rs.rand(*vol).astype(np.float32), tuple((h, h) for h in halo), mode="reflect")
+    starts = np.asarray([(z, y, x) for z in (0, 64) for y in (0, 160) for x in (0, 160)], np.int32)
+
+    sweep = DeviceSlidingWindow(model, patch_shape=patch, halo_shape=halo,
+                                normalize="standardize_patch")
+    # device-resident timing: this environment's host<->device tunnel moves
+    # ~70 MB in seconds, which would swamp the sweep itself; production TPU
+    # VMs have PCIe-class transfers
+    import jax.numpy as jnp
+
+    padded_dev = jax.device_put(jnp.asarray(padded)[..., None])
+    starts_dev = jnp.asarray(starts)
+    t0 = time.perf_counter()
+    out, _w = sweep._sweep(variables, padded_dev, starts_dev)
+    _ = float(out[0, 0, 0, 0])
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out, _w = sweep._sweep(variables, padded_dev + 1e-6, starts_dev)
+    _ = float(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    vox = int(np.prod(vol))
+    print(f"warm {warm:.2f}s, steady {dt*1e3:.1f} ms -> {vox/dt/1e6:.1f} Mvox/s device-side")
+
+
+if __name__ == "__main__":
+    main()
