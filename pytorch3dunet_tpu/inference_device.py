@@ -66,9 +66,18 @@ class DeviceSlidingWindow:
 
     def __init__(self, model, patch_shape, halo_shape, normalize=None, stats=None, blend="assign", mesh=None,
                  weighted=None):
+        from pytorch3dunet_tpu.models import is_model_2d
+
         self.model = model
         self.patch_shape = tuple(patch_shape)
         self.halo_shape = tuple(halo_shape)
+        # 2D models sweep the same (z, y, x) grid with singleton-z patches:
+        # the (1, py, px, C) haloed slab feeds the model directly with z as
+        # the batch dimension (reference predictor.py:154-160 squeezes z)
+        self.is_2d = is_model_2d(model)
+        if self.is_2d:
+            assert self.patch_shape[0] == 1 and self.halo_shape[0] == 0, (
+                "2D models require patch depth 1 and no z halo")
         self.normalize = normalize
         self.stats = stats or {}
         self.blend = blend
@@ -111,6 +120,10 @@ class DeviceSlidingWindow:
         cz, cy, cx = self.patch_shape
         patch = jax.lax.dynamic_slice(padded_volume, (start[0], start[1], start[2], 0), (pz, py, px, cin))
         patch = self._normalize_patch(patch)
+        if self.is_2d:
+            # (1, py, px, C) with z as batch -> (1, cy, cx, Cout) core
+            probs, _ = self.model.module.apply(variables, patch, train=False)
+            return probs[:, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
         probs, _ = self.model.module.apply(variables, patch[None], train=False)
         return probs[0, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
 

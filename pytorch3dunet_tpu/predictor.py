@@ -182,8 +182,9 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
     The mirror-padded volume is uploaded once; a jitted lax.fori_loop performs
     slice -> forward -> halo-crop -> stitch for the whole patch grid (see
-    inference_device.py). Falls back to the host loop (StandardPredictor) for
-    2D models or unsupported transformer pipelines.
+    inference_device.py). 2D models sweep the same grid with singleton-z
+    patches (z feeds the model as the batch dim). Falls back to the host loop
+    (StandardPredictor) for unsupported transformer pipelines.
 
     Multi-chip: when more than one device is visible, the patch grid is
     sharded across a 1-D data mesh (each chip predicts a disjoint patch
@@ -232,8 +233,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
         dataset = test_loader.dataset
         if is_model_2d(self.model):
-            logger.info("2D model: falling back to the host sliding-window loop")
-            return super().__call__(test_loader)
+            patch_z = dataset.raw_slices[0][-3].stop - dataset.raw_slices[0][-3].start
+            if patch_z != 1 or dataset.halo_shape[0] != 0:
+                logger.info("2D model with non-singleton z patches: falling back to the host loop")
+                return super().__call__(test_loader)
 
         device_path = detect_device_path(dataset.transformer.phase_config["raw"], dataset.transformer.config_base)
         if device_path is None:

@@ -177,6 +177,32 @@ def test_tpu_device_routes_to_device_sweep(tmpdir):
     assert type(predictor) is StandardPredictor
 
 
+def test_device_sweep_2d_model_matches_host(tmpdir):
+    # 2D models run the device sweep too: singleton-z patches, z as batch
+    config = _make_config(tmpdir, shape=(6, 48, 48), halo=(0, 8, 8))
+    config["model"] = {"name": "UNet2D", "in_channels": 1, "out_channels": 2,
+                       "layer_order": "gcr", "f_maps": 8, "num_groups": 4,
+                       "num_levels": 2, "final_sigmoid": False}
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [1, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [1, 24, 24]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    host = _predict(config, model, variables)
+
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    predictor = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        predictor(loader)
+    assert predictor._sweeps, "2D model did not use the device sweep"
+    out = os.path.join(config["loaders"]["output_dir"], "vol_predictions.h5")
+    with h5py.File(out, "r") as f:
+        device = f["predictions"][:]
+
+    assert device.shape == host.shape
+    np.testing.assert_allclose(device, host, atol=2e-5)
+
+
 def test_device_per_patch_standardize(tmpdir):
     # per-patch Standardize (no global stats) is supported on device
     config = _make_config(tmpdir)
