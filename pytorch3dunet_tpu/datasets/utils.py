@@ -306,9 +306,16 @@ def get_train_loaders(config: dict) -> dict:
     batch_size = _scaled_batch_size(loaders_config, config)
     logger.info(f"Batch size for train/val loader: {batch_size}")
 
+    # multi-host: a ragged final train batch cannot be sharded and would be
+    # marked "replicated" while holding DIFFERENT per-host samples (the train
+    # files are host-sharded above) — silent parameter divergence. Drop it.
+    # Validation files are identical on every host, so ragged val batches
+    # replicate identical values and stay correct.
+    drop_last = jax.process_count() > 1
     return {
         "train": DataLoader(
-            ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True, num_workers=num_workers
+            ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True, num_workers=num_workers,
+            drop_last=drop_last,
         ),
         # no shuffling for validation: stable batches make progress visible in TB
         "val": DataLoader(

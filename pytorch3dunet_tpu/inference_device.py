@@ -219,6 +219,10 @@ def detect_device_path(transformer_config, global_stats) -> tuple[str | None, di
     """
     names = [t["name"] for t in transformer_config]
     tail = [n for n in names if n != "ToTensor"]
+    # channelwise normalization computes per-channel statistics on host; the
+    # device ops reduce jointly — fall back rather than silently diverge
+    if any(t.get("channelwise") for t in transformer_config):
+        return None
     if tail == ["Standardize"]:
         cfg = next(t for t in transformer_config if t["name"] == "Standardize")
         if "mean" in cfg or (global_stats and global_stats.get("mean") is not None):

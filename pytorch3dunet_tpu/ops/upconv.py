@@ -234,7 +234,8 @@ def concat_group_stats(skip, xs, num_groups, eps=1e-5, factor=8.0):
     sums = jnp.concatenate([sum_s, sum_u], axis=-1).reshape(N, num_groups, gs).sum(-1)
     sumsqs = jnp.concatenate([sumsq_s, sumsq_u], axis=-1).reshape(N, num_groups, gs).sum(-1)
     mean_g = sums / (V * gs)
-    var_g = sumsqs / (V * gs) - mean_g * mean_g
+    # clamp: E[x^2]-E[x]^2 can cancel below 0 in fp32 for large-mean groups
+    var_g = jnp.maximum(sumsqs / (V * gs) - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     mean_c = jnp.repeat(mean_g, gs, axis=-1)
     inv_c = jnp.repeat(inv_g, gs, axis=-1)

@@ -24,9 +24,17 @@ def data_mesh(devices=None) -> Mesh:
 def choose_data_mesh(batch_size: int, devices=None) -> Mesh:
     """1-D mesh sized to the batch: the largest device count that divides the
     global batch (a replicated batch on an N-device mesh would run the whole
-    computation N times — worse than single-device)."""
+    computation N times — worse than single-device).
+
+    Multi-host: the mesh must span every process's devices (a device-prefix
+    mesh would exclude other hosts' local devices and
+    make_array_from_process_local_data would fail), so the full global mesh is
+    returned; per-host feeding is handled by shard_batch.
+    """
     if devices is None:
         devices = jax.devices()
+    if jax.process_count() > 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
     n = len(devices)
     k = max(d for d in range(1, min(n, max(batch_size, 1)) + 1) if batch_size % d == 0)
     return Mesh(np.asarray(devices[:k]), (DATA_AXIS,))

@@ -217,7 +217,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         mesh = None
         if self.shard and len(jax.devices()) > 1:
             mesh = data_mesh()
-        key = (patch_shape, halo_shape, normalize, self.blend, weighted, mesh is not None)
+        # stats participate in the key: they are baked into the jitted sweep,
+        # and per-volume global_normalization stats differ between loaders
+        stats_key = tuple(sorted((k, float(v)) for k, v in (stats or {}).items()))
+        key = (patch_shape, halo_shape, normalize, stats_key, self.blend, weighted, mesh is not None)
         if key not in self._sweeps:
             if mesh is not None:
                 logger.info(f"Sharding the patch grid over {mesh.devices.size} devices")

@@ -86,6 +86,35 @@ def test_unet2d(train_config_2d, tmpdir):
     _assert_train_save_load(train_config_2d, tmpdir, "CrossEntropyLoss")
 
 
+def test_golden_dice_on_learnable_target(train_config, tmpdir):
+    """Training-accuracy golden gate: a thresholded-raw target must be learned
+    to Dice > 0.85 within 60 iterations (synthetic stand-in for the
+    reference's real-data gates, tests/test_criterion.py:95-120, whose LFS
+    volume is absent in this environment)."""
+    config = train_config
+    _set_loss(config, "BCEDiceLoss")
+    # 1-channel eval probabilities need sigmoid (softmax over one channel
+    # is constant 1.0 and the Dice gate would measure nothing)
+    config["model"]["final_sigmoid"] = True
+    config = _add_paths(config, str(tmpdir), binary_loss=True)
+    config["trainer"]["max_num_iterations"] = 60
+    config["trainer"]["max_num_epochs"] = 30
+    config["trainer"]["validate_after_iters"] = 20
+    config["trainer"]["log_after_iters"] = 100
+    config["optimizer"]["learning_rate"] = 5e-3
+
+    for name in ["train", "val"]:
+        path = config["loaders"][name]["file_paths"][0]
+        with h5py.File(path, "r+") as f:
+            raw = f["raw"][:]
+            del f["label"]
+            f.create_dataset("label", data=(raw[0] > 0.5).astype(np.float32))
+
+    trainer = create_trainer(config)
+    trainer.fit()
+    assert trainer.best_eval_score > 0.85, f"best eval Dice {trainer.best_eval_score}"
+
+
 def test_loss_decreases(train_config, tmpdir):
     """Training on a learnable target must reduce the loss."""
     config = train_config
