@@ -62,15 +62,19 @@ class DeviceSlidingWindow:
         blend: 'assign' (reference parity) or 'gaussian' (weighted blending).
         mesh: optional jax Mesh with a 'data' axis; the patch grid is sharded
             across it (each device sweeps a disjoint subset of patches).
+        patch_batch: patches forwarded per loop step. Small patches (2D
+            z-slices especially) underfill the MXU at batch 1; batching B of
+            them into one forward amortizes the per-step overhead.
     """
 
     def __init__(self, model, patch_shape, halo_shape, normalize=None, stats=None, blend="assign", mesh=None,
-                 weighted=None):
+                 weighted=None, patch_batch=1):
         from pytorch3dunet_tpu.models import is_model_2d
 
         self.model = model
         self.patch_shape = tuple(patch_shape)
         self.halo_shape = tuple(halo_shape)
+        self.patch_batch = max(1, int(patch_batch))
         # 2D models sweep the same (z, y, x) grid with singleton-z patches:
         # the (1, py, px, C) haloed slab feeds the model directly with z as
         # the batch dimension (reference predictor.py:154-160 squeezes z)
@@ -127,6 +131,22 @@ class DeviceSlidingWindow:
         probs, _ = self.model.module.apply(variables, patch[None], train=False)
         return probs[0, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
 
+    def _forward_cores_batched(self, variables, padded_volume, starts_b):
+        """B patches in one forward dispatch; returns (B, *patch, Cout)."""
+        (pz, py, px), cin = self._patch_sizes(padded_volume)
+        hz, hy, hx = self.halo_shape
+        cz, cy, cx = self.patch_shape
+        patches = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(padded_volume, (s[0], s[1], s[2], 0), (pz, py, px, cin))
+        )(starts_b)
+        patches = jax.vmap(self._normalize_patch)(patches)
+        if self.is_2d:
+            probs, _ = self.model.module.apply(variables, patches[:, 0], train=False)
+            probs = probs[:, None]  # reattach the singleton z
+        else:
+            probs, _ = self.model.module.apply(variables, patches, train=False)
+        return probs[:, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
+
     def _accumulate(self, variables, padded_volume, starts, weighted, vary_axis=None):
         """Sweeps `starts`, accumulating (out, weights); weights is None for
         pure-assignment stitching (reference write-wins semantics)."""
@@ -141,14 +161,12 @@ class DeviceSlidingWindow:
             out = jax.lax.pvary(out, vary_axis)
             weights = jax.lax.pvary(weights, vary_axis) if weights is not None else None
 
-        def body(i, carry):
+        def stitch(carry, s0, core):
             out, weights = carry
-            s0 = starts[i]
-            # sentinel (-1) starts pad the grid to the mesh size: their weight
-            # is masked to zero so they contribute nothing anywhere
+            # sentinel (-1) starts pad the grid to the mesh/batch size: their
+            # weight is masked to zero so they contribute nothing anywhere
             valid = (s0[0] >= 0).astype(jnp.float32)
             s = jnp.maximum(s0, 0)
-            core = self._forward_core(variables, padded_volume, s)
             if weighted:
                 win = (window if window is not None else jnp.ones(self.patch_shape, jnp.float32)) * valid
                 prev_w = jax.lax.dynamic_slice(weights, (s[0], s[1], s[2]), self.patch_shape)
@@ -158,6 +176,25 @@ class DeviceSlidingWindow:
             else:
                 out = jax.lax.dynamic_update_slice(out, core, (s[0], s[1], s[2], 0))
             return out, weights
+
+        B = self.patch_batch
+        if B > 1:
+            # callers pad `starts` to a multiple of B (repeat-last for the
+            # plain sweep — idempotent for assignment, weight-proportional for
+            # blending — and sentinels for the sharded sweep)
+            def body_b(i, carry):
+                sb0 = jax.lax.dynamic_slice(starts, (i * B, 0), (B, 3))
+                cores = self._forward_cores_batched(variables, padded_volume, jnp.maximum(sb0, 0))
+                return jax.lax.fori_loop(
+                    0, B, lambda j, c: stitch(c, sb0[j], cores[j]), carry
+                )
+
+            return jax.lax.fori_loop(0, starts.shape[0] // B, body_b, (out, weights))
+
+        def body(i, carry):
+            s0 = starts[i]
+            core = self._forward_core(variables, padded_volume, jnp.maximum(s0, 0))
+            return stitch(carry, s0, core)
 
         return jax.lax.fori_loop(0, starts.shape[0], body, (out, weights))
 
@@ -194,13 +231,21 @@ class DeviceSlidingWindow:
             padded_volume = padded_volume[..., None]
         starts = np.asarray(starts, dtype=np.int32)
         if self.mesh is not None:
-            n = self.mesh.devices.size
+            # pad to a whole number of per-device patch batches with sentinel
+            # starts; the (weighted) sharded sweep masks their weight to 0
+            n = self.mesh.devices.size * self.patch_batch
             pad = (-len(starts)) % n
             if pad:
-                # pad with sentinel starts; the sweep masks their weight to 0
                 starts = np.concatenate([starts, np.full((pad, 3), -1, np.int32)])
             out, weights = self._sweep_sharded(variables, padded_volume, jnp.asarray(starts, jnp.int32))
         else:
+            pad = (-len(starts)) % self.patch_batch
+            if pad:
+                if self.weighted:
+                    starts = np.concatenate([starts, np.full((pad, 3), -1, np.int32)])
+                else:
+                    # assignment stitching: re-writing the last patch is a no-op
+                    starts = np.concatenate([starts, np.repeat(starts[-1:], pad, axis=0)])
             out, weights = self._sweep(variables, padded_volume, jnp.asarray(starts, jnp.int32))
         return np.asarray(out), (None if weights is None else np.asarray(weights))
 

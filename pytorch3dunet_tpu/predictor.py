@@ -201,13 +201,16 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         shard: split the patch grid across all visible devices (default true).
         max_device_voxels: slab the sweep when the padded volume is larger
             than this many elements (default 1e9).
+        patch_batch: patches per forward dispatch (default 1 for 3D models,
+            16 for 2D — singleton-z slices underfill the chip at batch 1).
     """
 
-    def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), **kwargs):
+    def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), patch_batch=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.blend = blend
         self.shard = shard
         self.max_device_voxels = max_device_voxels
+        self.patch_batch = patch_batch
         self._sweeps = {}
 
     def _get_sweep(self, patch_shape, halo_shape, normalize, stats, weighted):
@@ -217,16 +220,19 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         mesh = None
         if self.shard and len(jax.devices()) > 1:
             mesh = data_mesh()
+        patch_batch = self.patch_batch
+        if patch_batch is None:
+            patch_batch = 16 if is_model_2d(self.model) else 1
         # stats participate in the key: they are baked into the jitted sweep,
         # and per-volume global_normalization stats differ between loaders
         stats_key = tuple(sorted((k, float(v)) for k, v in (stats or {}).items()))
-        key = (patch_shape, halo_shape, normalize, stats_key, self.blend, weighted, mesh is not None)
+        key = (patch_shape, halo_shape, normalize, stats_key, self.blend, weighted, patch_batch, mesh is not None)
         if key not in self._sweeps:
             if mesh is not None:
                 logger.info(f"Sharding the patch grid over {mesh.devices.size} devices")
             self._sweeps[key] = DeviceSlidingWindow(
                 self.model, patch_shape, halo_shape, normalize=normalize, stats=stats,
-                blend=self.blend, mesh=mesh, weighted=weighted,
+                blend=self.blend, mesh=mesh, weighted=weighted, patch_batch=patch_batch,
             )
         return self._sweeps[key]
 

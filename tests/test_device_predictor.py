@@ -177,6 +177,32 @@ def test_tpu_device_routes_to_device_sweep(tmpdir):
     assert type(predictor) is StandardPredictor
 
 
+@pytest.mark.parametrize("blend", ["assign", "gaussian"])
+def test_batched_sweep_matches_unbatched(tmpdir, blend):
+    # patch_batch=3 does not divide the 27-patch grid: exercises the padding
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "blend": blend, "shard": False}
+    single = _predict(config, model, variables)
+    config["predictor"]["patch_batch"] = 3
+    batched = _predict(config, model, variables)
+    np.testing.assert_allclose(batched, single, atol=2e-5)
+
+
+def test_batched_sharded_sweep_matches_unbatched(tmpdir):
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False}
+    single = _predict(config, model, variables)
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": True, "patch_batch": 2}
+    batched = _predict(config, model, variables)
+    np.testing.assert_allclose(batched, single, atol=2e-5)
+
+
 def test_device_sweep_2d_model_matches_host(tmpdir):
     # 2D models run the device sweep too: singleton-z patches, z as batch
     config = _make_config(tmpdir, shape=(6, 48, 48), halo=(0, 8, 8))
