@@ -349,14 +349,23 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
 class DSB2018Predictor(AbstractPredictor):
     """Per-image 2D prediction with optional connected-component segmentation
-    (reference predictor.py:277-330)."""
+    (reference predictor.py:277-330).
+
+    `pad_to_multiple` (opt-in): reflect-pads each image's H/W up to the next
+    multiple before the forward and crops the prediction back. XLA compiles
+    one program per input shape — on variable-size DSB images an unpadded run
+    recompiles per image (minutes each over a tunneled TPU); bucketing bounds
+    the number of compiles. Off by default because padding slightly perturbs
+    the GroupNorm statistics (global over the image) vs the reference.
+    """
 
     def __init__(self, model, variables, output_dir, config=None, save_segmentation=True,
-                 pmaps_thershold=0.5, **kwargs):
+                 pmaps_thershold=0.5, pad_to_multiple=None, **kwargs):
         kwargs.setdefault("out_channels", 1)
         super().__init__(model, variables, output_dir, **kwargs)
         self.pmaps_threshold = pmaps_thershold
         self.save_segmentation = save_segmentation
+        self.pad_to_multiple = pad_to_multiple
 
     def __call__(self, test_loader):
         # overlap H5 writes with device compute (reference predictor.py:293-308
@@ -390,7 +399,14 @@ class DSB2018Predictor(AbstractPredictor):
             # (N, C, 1, H, W) from the singleton-z 2D convention
             img = np.squeeze(img, axis=2)
         inp = np.moveaxis(img, 1, -1)
-        probs = np.moveaxis(np.asarray(self._forward_fn(self.variables, inp)), -1, 1)
+        h, w = inp.shape[1], inp.shape[2]
+        if self.pad_to_multiple:
+            m = int(self.pad_to_multiple)
+            ph, pw = (-h) % m, (-w) % m
+            if ph or pw:
+                inp = np.pad(inp, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        probs = np.asarray(self._forward_fn(self.variables, inp))[:, :h, :w, :]
+        probs = np.moveaxis(probs, -1, 1)
         if had_depth:
             probs = probs[:, :, None]
         return probs

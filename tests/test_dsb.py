@@ -82,3 +82,34 @@ class TestDSBPredictor:
             assert "segmentation" in f
             assert f["predictions"].shape == (64, 64)
             assert f["segmentation"].dtype == np.uint16
+
+    def test_pad_to_multiple_bounds_compiles(self, tmpdir):
+        # variable-size images: shape bucketing pads H/W up to a multiple so
+        # XLA compiles once per bucket, not once per image size
+        root = os.path.join(str(tmpdir), "var")
+        os.makedirs(os.path.join(root, "images"))
+        rs = np.random.RandomState(1)
+        sizes = [(50, 70), (60, 45), (64, 64)]
+        for i, (h, w) in enumerate(sizes):
+            imageio.imwrite(os.path.join(root, "images", f"img{i}.png"),
+                            (rs.rand(h, w) * 255).astype(np.uint8))
+        out_dir = os.path.join(str(tmpdir), "out_var")
+        os.makedirs(out_dir)
+
+        model = get_model({"name": "UNet2D", "in_channels": 1, "out_channels": 1,
+                           "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": True})
+        variables = model.init(jax.random.PRNGKey(0))
+        ds = DSB2018Dataset(root, "test", {"raw": TRANSFORMER["raw"]})
+        loader = DataLoader(ds, batch_size=1, collate_fn=ds.prediction_collate)
+
+        predictor = DSB2018Predictor(model, variables, out_dir, device="cpu", pad_to_multiple=32)
+        predictor(loader)
+
+        # predictions keep the ORIGINAL image shapes
+        shapes = set()
+        for f_name in os.listdir(out_dir):
+            with h5py.File(os.path.join(out_dir, f_name), "r") as f:
+                shapes.add(f["predictions"].shape)
+        assert shapes == set(sizes)
+        # (64,96) and 2x (64,64) padded buckets -> 2 compiled programs, not 3
+        assert predictor._forward_fn._cache_size() == 2
