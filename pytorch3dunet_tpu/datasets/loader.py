@@ -81,13 +81,17 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=1, collate_fn=None,
-                 drop_last=False, prefetch_batches=None, seed=None, worker_mode=None):
+                 drop_last=False, prefetch_batches=None, seed=None, worker_mode=None,
+                 max_batches=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, int(num_workers))
         self.collate_fn = collate_fn or default_collate
         self.drop_last = drop_last
+        # cap on batches per epoch: multi-host training truncates every host
+        # to the GLOBAL minimum so each collective train step has all hosts
+        self.max_batches = max_batches
         self.prefetch_batches = prefetch_batches or (self.num_workers + 2)
         if seed is None:
             # derive from the global RNG so `manual_seed` makes shuffling
@@ -133,9 +137,10 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return math.ceil(n / self.batch_size)
+        nb = n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        if self.max_batches is not None:
+            nb = min(nb, self.max_batches)
+        return nb
 
     def _batch_indices(self):
         indices = np.arange(len(self.dataset))

@@ -312,11 +312,24 @@ def get_train_loaders(config: dict) -> dict:
     # Validation files are identical on every host, so ragged val batches
     # replicate identical values and stay correct.
     drop_last = jax.process_count() > 1
+    train_loader = DataLoader(
+        ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True, num_workers=num_workers,
+        drop_last=drop_last,
+    )
+    if jax.process_count() > 1:
+        # every train step is a global collective (shard_batch + grad psum):
+        # hosts with more local batches would wait forever for the others.
+        # Truncate every host's epoch to the GLOBAL minimum batch count.
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(np.int32(len(train_loader)))
+        global_min = int(np.min(counts))
+        if global_min != len(train_loader):
+            logger.info(f"Multi-host: capping train batches/epoch {len(train_loader)} -> {global_min} "
+                        f"(global minimum across hosts)")
+        train_loader.max_batches = global_min
     return {
-        "train": DataLoader(
-            ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True, num_workers=num_workers,
-            drop_last=drop_last,
-        ),
+        "train": train_loader,
         # no shuffling for validation: stable batches make progress visible in TB
         "val": DataLoader(
             ConcatDataset(val_datasets), batch_size=batch_size, shuffle=False, num_workers=num_workers

@@ -93,11 +93,22 @@ class DeviceSlidingWindow:
         # write-wins stitching exactly
         self.weighted = (blend == "gaussian") if weighted is None else weighted
 
-    def _normalize_patch(self, patch):
+    def _stats_pytree(self, stats=None):
+        """Stats as traced fp32 scalars: per-volume values (e.g. from
+        global_normalization) feed the SAME compiled sweep as jit arguments
+        instead of being baked in as constants (a recompile per volume costs
+        minutes over a tunneled TPU)."""
+        stats = self.stats if stats is None else stats
         if self.normalize == "standardize":
-            mean = jnp.float32(self.stats["mean"])
-            std = jnp.float32(self.stats["std"])
-            return (patch - mean) / jnp.clip(std, 1e-10)
+            return {"mean": jnp.float32(stats["mean"]), "std": jnp.float32(stats["std"])}
+        if self.normalize == "percentile":
+            return {"pmin": jnp.float32(stats.get("pmin", 1.0)),
+                    "pmax": jnp.float32(stats.get("pmax", 99.6))}
+        return {}
+
+    def _normalize_patch(self, patch, stats):
+        if self.normalize == "standardize":
+            return (patch - stats["mean"]) / jnp.clip(stats["std"], 1e-10)
         if self.normalize == "standardize_patch":
             mean = jnp.mean(patch)
             std = jnp.std(patch)
@@ -107,8 +118,8 @@ class DeviceSlidingWindow:
             hi = jnp.max(patch)
             return jnp.clip(2 * (patch - lo) / (hi - lo + 1e-10) - 1, -1, 1)
         if self.normalize == "percentile":
-            lo = jnp.percentile(patch, jnp.float32(self.stats.get("pmin", 1)))
-            hi = jnp.percentile(patch, jnp.float32(self.stats.get("pmax", 99.6)))
+            lo = jnp.percentile(patch, stats["pmin"])
+            hi = jnp.percentile(patch, stats["pmax"])
             return (patch - lo) / (hi - lo + 1e-10)
         return patch
 
@@ -117,13 +128,13 @@ class DeviceSlidingWindow:
         cz, cy, cx = self.patch_shape
         return (cz + 2 * hz, cy + 2 * hy, cx + 2 * hx), padded_volume.shape[-1]
 
-    def _forward_core(self, variables, padded_volume, start):
+    def _forward_core(self, variables, padded_volume, start, stats):
         """dynamic_slice -> normalize -> model -> halo crop; (patch, Cout) core."""
         (pz, py, px), cin = self._patch_sizes(padded_volume)
         hz, hy, hx = self.halo_shape
         cz, cy, cx = self.patch_shape
         patch = jax.lax.dynamic_slice(padded_volume, (start[0], start[1], start[2], 0), (pz, py, px, cin))
-        patch = self._normalize_patch(patch)
+        patch = self._normalize_patch(patch, stats)
         if self.is_2d:
             # (1, py, px, C) with z as batch -> (1, cy, cx, Cout) core
             probs, _ = self.model.module.apply(variables, patch, train=False)
@@ -131,7 +142,7 @@ class DeviceSlidingWindow:
         probs, _ = self.model.module.apply(variables, patch[None], train=False)
         return probs[0, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
 
-    def _forward_cores_batched(self, variables, padded_volume, starts_b):
+    def _forward_cores_batched(self, variables, padded_volume, starts_b, stats):
         """B patches in one forward dispatch; returns (B, *patch, Cout)."""
         (pz, py, px), cin = self._patch_sizes(padded_volume)
         hz, hy, hx = self.halo_shape
@@ -139,7 +150,7 @@ class DeviceSlidingWindow:
         patches = jax.vmap(
             lambda s: jax.lax.dynamic_slice(padded_volume, (s[0], s[1], s[2], 0), (pz, py, px, cin))
         )(starts_b)
-        patches = jax.vmap(self._normalize_patch)(patches)
+        patches = jax.vmap(lambda p: self._normalize_patch(p, stats))(patches)
         if self.is_2d:
             probs, _ = self.model.module.apply(variables, patches[:, 0], train=False)
             probs = probs[:, None]  # reattach the singleton z
@@ -147,7 +158,7 @@ class DeviceSlidingWindow:
             probs, _ = self.model.module.apply(variables, patches, train=False)
         return probs[:, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
 
-    def _accumulate(self, variables, padded_volume, starts, weighted, vary_axis=None):
+    def _accumulate(self, variables, padded_volume, starts, weighted, stats, vary_axis=None):
         """Sweeps `starts`, accumulating (out, weights); weights is None for
         pure-assignment stitching (reference write-wins semantics)."""
         cout = self.model.out_channels
@@ -184,7 +195,7 @@ class DeviceSlidingWindow:
             # blending — and sentinels for the sharded sweep)
             def body_b(i, carry):
                 sb0 = jax.lax.dynamic_slice(starts, (i * B, 0), (B, 3))
-                cores = self._forward_cores_batched(variables, padded_volume, jnp.maximum(sb0, 0))
+                cores = self._forward_cores_batched(variables, padded_volume, jnp.maximum(sb0, 0), stats)
                 return jax.lax.fori_loop(
                     0, B, lambda j, c: stitch(c, sb0[j], cores[j]), carry
                 )
@@ -193,18 +204,18 @@ class DeviceSlidingWindow:
 
         def body(i, carry):
             s0 = starts[i]
-            core = self._forward_core(variables, padded_volume, jnp.maximum(s0, 0))
+            core = self._forward_core(variables, padded_volume, jnp.maximum(s0, 0), stats)
             return stitch(carry, s0, core)
 
         return jax.lax.fori_loop(0, starts.shape[0], body, (out, weights))
 
     @partial(jax.jit, static_argnums=(0,))
-    def _sweep(self, variables, padded_volume, starts):
+    def _sweep(self, variables, padded_volume, starts, stats):
         """Single-device sweep. padded_volume: (Dp, Hp, Wp, Cin); starts: (P, 3)."""
-        return self._accumulate(variables, padded_volume, starts, weighted=self.weighted)
+        return self._accumulate(variables, padded_volume, starts, weighted=self.weighted, stats=stats)
 
     @partial(jax.jit, static_argnums=(0,))
-    def _sweep_sharded(self, variables, padded_volume, starts):
+    def _sweep_sharded(self, variables, padded_volume, starts, stats):
         """Multi-device sweep: patch grid split over the 'data' mesh axis.
 
         Every device accumulates its patch subset (weighted, so duplicated
@@ -212,24 +223,30 @@ class DeviceSlidingWindow:
         with one psum over ICI.
         """
 
-        def shard_fn(variables, vol, starts_local):
-            out, weights = self._accumulate(variables, vol, starts_local, weighted=True, vary_axis=DATA_AXIS)
+        def shard_fn(variables, vol, starts_local, stats):
+            out, weights = self._accumulate(variables, vol, starts_local, weighted=True, stats=stats,
+                                            vary_axis=DATA_AXIS)
             return jax.lax.psum(out, DATA_AXIS), jax.lax.psum(weights, DATA_AXIS)
 
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(DATA_AXIS)),
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
             out_specs=(P(), P()),
-        )(variables, padded_volume, starts)
+        )(variables, padded_volume, starts, stats)
 
-    def sweep_raw(self, variables, padded_volume, starts: np.ndarray):
+    def sweep_raw(self, variables, padded_volume, starts: np.ndarray, stats=None):
         """One device dispatch over `starts`; returns numpy (out, weights|None)
-        UNDIVIDED, so callers can accumulate partial sweeps (volume chunking)."""
+        UNDIVIDED, so callers can accumulate partial sweeps (volume chunking).
+
+        `stats` (default: the constructor's) enter the compiled sweep as
+        traced scalars — per-volume normalization statistics reuse ONE
+        compiled program."""
         padded_volume = jnp.asarray(padded_volume, dtype=jnp.float32)
         if padded_volume.ndim == 3:
             padded_volume = padded_volume[..., None]
         starts = np.asarray(starts, dtype=np.int32)
+        stats_t = self._stats_pytree(stats)
         if self.mesh is not None:
             # pad to a whole number of per-device patch batches with sentinel
             # starts; the (weighted) sharded sweep masks their weight to 0
@@ -237,7 +254,7 @@ class DeviceSlidingWindow:
             pad = (-len(starts)) % n
             if pad:
                 starts = np.concatenate([starts, np.full((pad, 3), -1, np.int32)])
-            out, weights = self._sweep_sharded(variables, padded_volume, jnp.asarray(starts, jnp.int32))
+            out, weights = self._sweep_sharded(variables, padded_volume, jnp.asarray(starts, jnp.int32), stats_t)
         else:
             pad = (-len(starts)) % self.patch_batch
             if pad:
@@ -246,12 +263,12 @@ class DeviceSlidingWindow:
                 else:
                     # assignment stitching: re-writing the last patch is a no-op
                     starts = np.concatenate([starts, np.repeat(starts[-1:], pad, axis=0)])
-            out, weights = self._sweep(variables, padded_volume, jnp.asarray(starts, jnp.int32))
+            out, weights = self._sweep(variables, padded_volume, jnp.asarray(starts, jnp.int32), stats_t)
         return np.asarray(out), (None if weights is None else np.asarray(weights))
 
-    def __call__(self, variables, padded_volume: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    def __call__(self, variables, padded_volume: np.ndarray, starts: np.ndarray, stats=None) -> np.ndarray:
         """Runs the sweep; returns the stitched (D, H, W, Cout) volume."""
-        out, weights = self.sweep_raw(variables, padded_volume, starts)
+        out, weights = self.sweep_raw(variables, padded_volume, starts, stats=stats)
         if weights is not None:
             out = out / np.maximum(weights, 1e-10)[..., None]
         return out

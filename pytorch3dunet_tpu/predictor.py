@@ -223,10 +223,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         patch_batch = self.patch_batch
         if patch_batch is None:
             patch_batch = 16 if is_model_2d(self.model) else 1
-        # stats participate in the key: they are baked into the jitted sweep,
-        # and per-volume global_normalization stats differ between loaders
-        stats_key = tuple(sorted((k, float(v)) for k, v in (stats or {}).items()))
-        key = (patch_shape, halo_shape, normalize, stats_key, self.blend, weighted, patch_batch, mesh is not None)
+        # the key is purely structural: per-volume stats (global_normalization
+        # mean/std) enter the jitted sweep as traced arguments, so every
+        # volume reuses ONE compiled program (callers pass stats per call)
+        key = (patch_shape, halo_shape, normalize, self.blend, weighted, patch_batch, mesh is not None)
         if key not in self._sweeps:
             if mesh is not None:
                 logger.info(f"Sharding the patch grid over {mesh.devices.size} devices")
@@ -277,7 +277,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             stitched = self._chunked_sweep(padded, starts, patch_shape, dataset.halo_shape, normalize, stats)
         else:
             sweep = self._get_sweep(patch_shape, dataset.halo_shape, normalize, stats, weighted=None)
-            stitched = sweep(self.variables, padded, starts)  # (D, H, W, Cout)
+            stitched = sweep(self.variables, padded, starts, stats=stats)  # (D, H, W, Cout)
         prediction_array = np.moveaxis(stitched, -1, 0)  # (Cout, D, H, W)
 
         logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
@@ -330,7 +330,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             sub = padded[z0 : z1 + pz]
             local = starts[chunk].copy()
             local[:, 0] -= z0
-            part_out, part_w = sweep.sweep_raw(self.variables, sub, local)
+            part_out, part_w = sweep.sweep_raw(self.variables, sub, local, stats=stats)
             zo = z1 - z0 + patch_shape[0]  # output extent of the slab
             out[z0 : z0 + zo] += part_out
             weights[z0 : z0 + zo] += part_w
@@ -402,9 +402,14 @@ class DSB2018Predictor(AbstractPredictor):
         h, w = inp.shape[1], inp.shape[2]
         if self.pad_to_multiple:
             m = int(self.pad_to_multiple)
-            ph, pw = (-h) % m, (-w) % m
-            if ph or pw:
-                inp = np.pad(inp, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            for axis, pad in ((1, (-h) % m), (2, (-w) % m)):
+                if pad:
+                    width = [(0, 0)] * inp.ndim
+                    width[axis] = (0, pad)
+                    # numpy reflect requires pad < dim; tiny images fall back
+                    # to edge replication instead of crashing
+                    mode = "reflect" if pad < inp.shape[axis] else "edge"
+                    inp = np.pad(inp, width, mode=mode)
         probs = np.asarray(self._forward_fn(self.variables, inp))[:, :h, :w, :]
         probs = np.moveaxis(probs, -1, 1)
         if had_depth:

@@ -44,7 +44,10 @@ def main(tmpdir):
             "raw_internal_path": "raw",
             "label_internal_path": "label",
             "train": {
-                "file_paths": [os.path.join(tmpdir, "t0.h5"), os.path.join(tmpdir, "t1.h5")],
+                # 3 files over 2 hosts: UNEQUAL per-host sample counts, so the
+                # global-minimum batch cap must kick in (deadlock otherwise)
+                "file_paths": [os.path.join(tmpdir, "t0.h5"), os.path.join(tmpdir, "t1.h5"),
+                               os.path.join(tmpdir, "t2.h5")],
                 "slice_builder": {"name": "SliceBuilder", "patch_shape": [8, 64, 64],
                                   "stride_shape": [8, 64, 64]},
                 "transformer": {
@@ -65,10 +68,14 @@ def main(tmpdir):
     }
 
     loaders = get_train_loaders(config)
-    # per-host file sharding: each of the 2 processes trains on exactly 1 file
+    # per-host file sharding: 3 files round-robin over 2 processes (2 vs 1)
     train_sets = loaders["train"].dataset.datasets
-    assert len(train_sets) == 1, f"expected 1 sharded train file, got {len(train_sets)}"
-    print(f"SHARDED_FILE {jax.process_index()} {os.path.basename(train_sets[0].file_path)}", flush=True)
+    assert len(train_sets) in (1, 2), f"unexpected shard size {len(train_sets)}"
+    names = ",".join(sorted(os.path.basename(ds.file_path) for ds in train_sets))
+    print(f"SHARDED_FILE {jax.process_index()} {names}", flush=True)
+    # unequal per-host sample counts: the loader must be capped to the GLOBAL
+    # minimum batch count or the per-step collective deadlocks at epoch end
+    print(f"NBATCHES {jax.process_index()} {len(loaders['train'])}", flush=True)
 
     model = get_model({"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
                        "num_groups": 4, "num_levels": 2, "final_sigmoid": True})

@@ -229,6 +229,28 @@ def test_device_sweep_2d_model_matches_host(tmpdir):
     np.testing.assert_allclose(device, host, atol=2e-5)
 
 
+def test_per_volume_stats_reuse_one_compiled_sweep():
+    # global_normalization stats are traced args: distinct per-volume values
+    # must NOT trigger a recompile (minutes each over a tunneled TPU)
+    from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
+
+    model = get_model({"name": "UNet3D", "in_channels": 1, "out_channels": 2, "layer_order": "gcr",
+                       "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": False})
+    variables = model.init(jax.random.PRNGKey(0))
+    sweep = DeviceSlidingWindow(model, patch_shape=(8, 24, 24), halo_shape=(0, 0, 0),
+                                normalize="standardize")
+    vol = np.random.RandomState(0).rand(8, 24, 24).astype(np.float32)
+    starts = np.zeros((1, 3), np.int32)
+
+    before = DeviceSlidingWindow._sweep._cache_size()
+    a = sweep(variables, vol, starts, stats={"mean": 0.5, "std": 0.3})
+    b = sweep(variables, vol * 50, starts, stats={"mean": 25.0, "std": 15.0})
+    after = DeviceSlidingWindow._sweep._cache_size()
+    assert after - before == 1, f"stats changed the compiled program: {before} -> {after}"
+    # scaled volume + matching stats normalize to (nearly) the same input
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_device_per_patch_standardize(tmpdir):
     # per-patch Standardize (no global stats) is supported on device
     config = _make_config(tmpdir)

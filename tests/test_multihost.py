@@ -33,7 +33,7 @@ def _free_port():
 def test_two_process_distributed_train_step(tmpdir):
     tmpdir = str(tmpdir)
     rs = np.random.RandomState(0)
-    for name in ("t0.h5", "t1.h5", "v.h5"):
+    for name in ("t0.h5", "t1.h5", "t2.h5", "v.h5"):
         with h5py.File(os.path.join(tmpdir, name), "w") as f:
             f.create_dataset("raw", data=rs.rand(16, 64, 64))
             f.create_dataset("label", data=(rs.rand(16, 64, 64) > 0.5).astype(np.float32))
@@ -62,10 +62,15 @@ def test_two_process_distributed_train_step(tmpdir):
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
 
-    # each host trained on a different file
+    # each host trained on a disjoint file subset (3 files round-robined)
     files = sorted(line.split()[-1] for out in outputs for line in out.splitlines()
                    if line.startswith("SHARDED_FILE"))
-    assert files == ["t0.h5", "t1.h5"], files
+    assert files == ["t0.h5,t2.h5", "t1.h5"], files
+
+    # unequal per-host sample counts were capped to the global minimum
+    nbatches = sorted(int(line.split()[-1]) for out in outputs for line in out.splitlines()
+                      if line.startswith("NBATCHES"))
+    assert len(nbatches) == 2 and nbatches[0] == nbatches[1], nbatches
 
     # both hosts computed the identical global loss (grad psum crossed DCN)
     losses = sorted(line.split("loss=")[-1] for out in outputs for line in out.splitlines()

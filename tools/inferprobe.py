@@ -20,6 +20,42 @@ from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow  # noqa: E402
 from pytorch3dunet_tpu.models import get_model  # noqa: E402
 
 
+def main_2d(patch_batch=16):
+    """2D-model sweep over a z-stack: singleton-z patches, `patch_batch`
+    slices per batched forward dispatch."""
+    import jax.numpy as jnp
+
+    model = get_model({
+        "name": "UNet2D", "in_channels": 1, "out_channels": 1, "f_maps": 32,
+        "layer_order": "gcr", "num_groups": 8, "final_sigmoid": True,
+        "dtype": "bfloat16",
+    })
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(128, 128))
+
+    vol = (64, 512, 512)
+    patch = (1, 256, 256)
+    halo = (0, 32, 32)
+    rs = np.random.RandomState(0)
+    padded = np.pad(rs.rand(*vol).astype(np.float32), tuple((h, h) for h in halo), mode="reflect")
+    starts = np.asarray([(z, y, x) for z in range(64) for y in (0, 256) for x in (0, 256)], np.int32)
+
+    sweep = DeviceSlidingWindow(model, patch_shape=patch, halo_shape=halo,
+                                normalize="standardize_patch", patch_batch=patch_batch)
+    padded_dev = jax.device_put(jnp.asarray(padded)[..., None])
+    starts_dev = jnp.asarray(starts)
+    t0 = time.perf_counter()
+    out, _w = sweep._sweep(variables, padded_dev, starts_dev)
+    _ = float(out[0, 0, 0, 0])
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out, _w = sweep._sweep(variables, padded_dev + 1e-6, starts_dev)
+    _ = float(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    vox = int(np.prod(vol))
+    print(f"2D B={patch_batch}: warm {warm:.2f}s, steady {dt*1e3:.1f} ms -> "
+          f"{vox/dt/1e6:.1f} Mvox/s device-side")
+
+
 def main():
     model = get_model({
         "name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 32,
@@ -57,4 +93,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "2d" in sys.argv[1:]:
+        for b in (1, 16):
+            main_2d(patch_batch=b)
+    else:
+        main()
