@@ -120,9 +120,12 @@ class UNetTrainer:
         logger.info(f"eval_score_higher_is_better: {eval_score_higher_is_better}")
         self.best_eval_score = float("-inf") if eval_score_higher_is_better else float("+inf")
 
-        self.writer = SummaryWriter(
-            log_dir=os.path.join(checkpoint_dir, "logs", datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
-        )
+        # multi-host: each process gets its own TB run dir (no file clashes);
+        # checkpoints are written by process 0 only (_save_checkpoint)
+        run_name = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            run_name = f"{run_name}_proc{jax.process_index()}"
+        self.writer = SummaryWriter(log_dir=os.path.join(checkpoint_dir, "logs", run_name))
         assert tensorboard_formatter is not None, "TensorboardFormatter must be provided"
         self.tensorboard_formatter = tensorboard_formatter
 
@@ -296,9 +299,21 @@ class UNetTrainer:
             return batch[0].shape[0]
         return batch.shape[0]
 
+    @staticmethod
+    def _local_np(x):
+        """Global device array -> host numpy. Multi-host batch-sharded arrays
+        are assembled from this host's addressable shards only (each host
+        evaluates metrics on its own samples; np.asarray on a
+        non-fully-addressable array would raise)."""
+        if not isinstance(x, jax.Array) or x.is_fully_replicated or x.is_fully_addressable:
+            return np.asarray(x)
+        uniq = {s.index[0].start or 0: s for s in x.addressable_shards}
+        return np.concatenate([np.asarray(uniq[k].data) for k in sorted(uniq)], axis=0)
+
     def _metric_inputs(self, probs, target):
         """Converts device outputs to the channels-first metric layout."""
-        out_np, tar_np = to_metric_layout(probs, target, is3d=not is_model_2d(self.model))
+        out_np, tar_np = to_metric_layout(self._local_np(probs), self._local_np(target),
+                                          is3d=not is_model_2d(self.model))
         return out_np, tar_np
 
     # ------------------------------------------------------------------- fit
@@ -471,6 +486,10 @@ class UNetTrainer:
         return is_best
 
     def _save_checkpoint(self, is_best: bool):
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # params are replicated: one writer suffices on a shared FS (and
+            # concurrent writes to the same path would corrupt the file)
+            return
         last_file_path = os.path.join(self.checkpoint_dir, "last_checkpoint.pytorch")
         logger.info(f"Saving checkpoint to '{last_file_path}'")
         save_checkpoint(

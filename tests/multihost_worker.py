@@ -109,6 +109,32 @@ def main(tmpdir):
     assert np.isfinite(loss_val)
     print(f"MULTIHOST_OK {jax.process_index()} loss={loss_val:.6f}", flush=True)
 
+    # full-trainer proof: UNetTrainer.fit() across both processes — global
+    # mesh, capped epochs, local-shard metrics, process-0-only checkpointing
+    from pytorch3dunet_tpu.trainer import create_trainer
+
+    ckpt_dir = os.path.join(tmpdir, "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    train_config = {
+        "device": "cpu",
+        "model": {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+                  "num_groups": 4, "num_levels": 2, "layer_order": "gcr", "final_sigmoid": True},
+        "loss": {"name": "BCEDiceLoss"},
+        "eval_metric": {"name": "DiceCoefficient"},
+        "optimizer": {"learning_rate": 1e-3},
+        "lr_scheduler": {"name": "MultiStepLR", "milestones": [100], "gamma": 0.5},
+        "trainer": {"checkpoint_dir": ckpt_dir, "resume": None, "validate_after_iters": 2,
+                    "log_after_iters": 1, "max_num_epochs": 4, "max_num_iterations": 2,
+                    "eval_score_higher_is_better": True},
+        "loaders": config["loaders"],
+    }
+    trainer = create_trainer(train_config)
+    trainer.fit()
+    ckpt = os.path.join(ckpt_dir, "last_checkpoint.pytorch")
+    if jax.process_index() == 0:
+        assert os.path.exists(ckpt), "process 0 must write the checkpoint"
+    print(f"TRAINER_OK {jax.process_index()} iters={trainer.num_iterations}", flush=True)
+
 
 if __name__ == "__main__":
     main(sys.argv[1])

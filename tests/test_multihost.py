@@ -77,3 +77,9 @@ def test_two_process_distributed_train_step(tmpdir):
                     if line.startswith("MULTIHOST_OK"))
     assert len(losses) == 2, outputs
     assert losses[0] == losses[1], losses
+
+    # the full UNetTrainer.fit() completed on both hosts with equal step counts
+    iters = sorted(line.split("iters=")[-1] for out in outputs for line in out.splitlines()
+                   if line.startswith("TRAINER_OK"))
+    assert len(iters) == 2, outputs
+    assert iters[0] == iters[1], iters
