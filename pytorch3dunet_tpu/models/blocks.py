@@ -103,9 +103,13 @@ def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "non
         f"Expected number of channels in input to be divisible by num_groups. "
         f"num_channels={num_channels}, num_groups={num_groups}"
     )
-    if isinstance(x, PackedArray):
-        return PackedGroupNorm(num_groups=num_groups, act=act, name=name)(x)
     from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis
+
+    if isinstance(x, PackedArray):
+        # PackedGroupNorm has no psum wiring: per-shard statistics would
+        # silently diverge (validate_spatial_model also rejects this combo)
+        assert active_spatial_axis() is None, "packed GN is unsupported under spatial sharding"
+        return PackedGroupNorm(num_groups=num_groups, act=act, name=name)(x)
 
     sp_axis = active_spatial_axis()
     if sp_axis is not None:
@@ -616,14 +620,17 @@ class Decoder(nn.Module):
             return False
         from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis
 
-        return active_spatial_axis() is None
+        if active_spatial_axis() is not None:
+            return False
+        return "full" if hw_exact else "mixed"
 
     @nn.compact
     def __call__(self, encoder_features, x, train: bool = False):
         target_spatial = encoder_features.shape[1:-1]
         packed = isinstance(x, PackedArray)
-        if self._fused_path_ok(encoder_features, x, packed):
-            if encoder_features.shape[2:-1] != tuple(2 * s for s in x.shape[2:-1]):
+        fused_mode = self._fused_path_ok(encoder_features, x, packed)
+        if fused_mode:
+            if fused_mode == "mixed":
                 # mixed exactness (e.g. 85 <- 42 pooling floor): bring H/W to
                 # target on the HALF-DEPTH tensor; only depth phase-folds
                 x = resize_spatial(x, (x.shape[1],) + tuple(encoder_features.shape[2:-1]), mode="nearest")

@@ -132,8 +132,7 @@ def _upconv_wide_blocks_d(m, kernel):
     (N, d, H, W, Ci) -> depth-blocked (N, d, H, W, 2F)."""
     from pytorch3dunet_tpu.ops.conv import _as2d
 
-    mp = jnp.pad(m, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    return _as2d(mp, embed_wide_kernel_d(kernel), (3, 3, 3, 0, 1, 1))
+    return _as2d(m, embed_wide_kernel_d(kernel), (3, 3, 3, 1, 1, 1))
 
 
 def depth_to_space_blocks_d(out, F):

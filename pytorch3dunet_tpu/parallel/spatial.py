@@ -44,15 +44,26 @@ def spatial_axis(name: str):
         _ACTIVE_AXIS.pop()
 
 
-def spatial_shardable(patch_d: int, num_levels: int, n_shards: int, pool: int = 2) -> bool:
-    """Whether a D extent stays evenly shardable through all pooling levels."""
+def spatial_shardable(patch_d: int, num_levels: int, n_shards: int, pool: int = 2,
+                      min_local: int = 1) -> bool:
+    """Whether a D extent stays EXACTLY shardable through all pooling levels.
+
+    Exactness requires, at every pyramid level: (a) the depth divides evenly
+    across shards with at least `min_local` local planes (deconv-upsampling
+    models need 2 — their index fix-up gathers a 2-plane halo, and fewer
+    planes would truncate it; nearest-upsampling models work with 1), and
+    (b) the depth divides the pool stride — the real encoder floor-pools, and
+    under sharding each shard would crop ITS OWN trailing plane instead of
+    the one global plane, silently computing a different function."""
     if n_shards <= 1:
         return True
     d = patch_d
-    for _ in range(num_levels):
-        if d % n_shards != 0 or (d // n_shards) < 1:
+    for level in range(num_levels):
+        if d % n_shards != 0 or (d // n_shards) < min_local:
             return False
-        if d % pool == 0:
+        if level < num_levels - 1:
+            if d % pool != 0:
+                return False
             d //= pool
     return True
 
@@ -64,12 +75,22 @@ def space_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (SPACE_AXIS,))
 
 
-def choose_space_mesh(patch_d: int, num_levels: int) -> Mesh:
-    """Largest device count that keeps every pooling level evenly sharded."""
+def choose_space_mesh(patch_d: int, num_levels: int, min_local: int = 1) -> Mesh:
+    """Largest device count that keeps every pooling level evenly sharded
+    (min_local=2 for deconv-upsampling models — see spatial_shardable)."""
     n = jax.device_count()
-    while n > 1 and not spatial_shardable(patch_d, num_levels, n):
+    while n > 1 and not spatial_shardable(patch_d, num_levels, n, min_local=min_local):
         n -= 1
     return space_mesh(n)
+
+
+def spatial_min_local(model) -> int:
+    """Minimum local planes per shard the model family needs (deconv
+    upsampling gathers a 2-plane halo in its index fix-up)."""
+    from pytorch3dunet_tpu.models.unet import _resolve_upsample
+
+    mode, _ = _resolve_upsample(model.module.upsample, model.module.basic_module)
+    return 2 if mode == "deconv" else 1
 
 
 def validate_spatial_model(model) -> None:
@@ -80,6 +101,25 @@ def validate_spatial_model(model) -> None:
     unsupported (its running stats are not psum-wired)."""
     assert model.is3d, "spatial sharding is for 3D models"
     assert "b" not in model.module.layer_order, "BatchNorm is not supported under spatial sharding"
+    from pytorch3dunet_tpu.ops import packed
+
+    assert not packed.enabled(), (
+        "P3DUNET_PACKED is not supported under spatial sharding: PackedGroupNorm "
+        "has no psum wiring, so statistics would silently be per-shard"
+    )
+    # the ResNet/SE families upsample with a stride-2 transposed conv whose
+    # sharded index fix-up only covers isotropic 2x (blocks.py); fail upfront
+    # with a clear message instead of mid-trace
+    from pytorch3dunet_tpu.models.unet import _resolve_upsample
+
+    mode, _ = _resolve_upsample(model.module.upsample, model.module.basic_module)
+    if mode == "deconv":
+        pk = model.module.pool_kernel_size
+        pk = (pk,) * 3 if isinstance(pk, int) else tuple(pk)
+        assert pk == (2, 2, 2), (
+            f"spatial sharding supports deconv upsampling only for isotropic 2x "
+            f"scale factors, got pool_kernel_size={pk}"
+        )
 
 
 def spatial_deconv_fixup_indices(axis_name: str, d_local: int):
@@ -106,6 +146,10 @@ def halo_exchange_d(x, axis_name: str, pad: int = 1):
     """Concatenates `pad` boundary planes from each neighbor along axis 1
     (the D axis of an (N, D, H, W, C) shard). Non-periodic: the outermost
     shards get zero halos, matching torch zero padding."""
+    assert x.shape[1] >= pad, (
+        f"local depth {x.shape[1]} < halo {pad}: slicing would silently truncate "
+        f"the halo — increase the patch depth or reduce the shard count"
+    )
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]

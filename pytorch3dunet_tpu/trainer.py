@@ -278,13 +278,14 @@ class UNetTrainer:
             target = target[:, 0]
         if self.spatial_sharding:
             from pytorch3dunet_tpu.parallel.spatial import (
-                choose_space_mesh, shard_spatial_batch, validate_spatial_model,
+                choose_space_mesh, shard_spatial_batch, spatial_min_local, validate_spatial_model,
             )
 
             assert not is_model_2d(self.model), "spatial_sharding requires a 3D model"
             if self.mesh is None:
                 validate_spatial_model(self.model)
-                self.mesh = choose_space_mesh(inp.shape[1], len(self.model.f_maps))
+                self.mesh = choose_space_mesh(inp.shape[1], len(self.model.f_maps),
+                                              min_local=spatial_min_local(self.model))
                 logger.info(f"Spatial mesh: patch D axis sharded over {self.mesh.devices.size} device(s)")
             return shard_spatial_batch(self.mesh, (inp, target))
         if self.mesh is None:

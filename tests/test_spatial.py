@@ -28,6 +28,13 @@ def test_spatial_shardable():
     assert spatial_shardable(80, 4, 2)
     assert not spatial_shardable(80, 4, 8)  # 10 planes at level 3 don't split 8 ways
     assert spatial_shardable(10, 1, 1)
+    # odd mid-pyramid depth: the real encoder floor-pools (crops the global
+    # trailing plane); per-shard cropping would silently diverge
+    assert not spatial_shardable(36, 4, 3)  # 36 -> 18 -> 9 (odd) -> floor-pool
+    # deconv models need >= 2 local planes (2-plane halo in the index fix-up)
+    assert spatial_shardable(64, 4, 8, min_local=1)
+    assert not spatial_shardable(64, 4, 8, min_local=2)  # bottleneck local = 1
+    assert spatial_shardable(64, 4, 4, min_local=2)
 
 
 def _setup():
