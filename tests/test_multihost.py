@@ -57,7 +57,13 @@ def test_two_process_distributed_train_step(tmpdir):
 
     outputs = []
     for p in procs:
-        out, _ = p.communicate(timeout=560)
+        try:
+            out, _ = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            out, _ = p.communicate()
+            pytest.fail(f"worker timed out; partial output:\n{out}")
         outputs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
