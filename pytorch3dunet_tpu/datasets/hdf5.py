@@ -60,7 +60,10 @@ class AbstractHDF5Dataset(ConfigDataset):
         raw_internal_path / label_internal_path: H5 dataset paths
         global_normalization: compute mean/std over the whole raw volume
         random_scale: optional multi-scale patch jitter (see RandomScaler)
-        random_scale_probability: probability of executing the random scale
+        random_scale_probability: NOTE — reference parity preserves the
+            reference's inverted gate (its datasets/utils.py:43-46): a draw
+            BELOW this value SKIPS the scaling, i.e. the scale actually runs
+            with probability 1 - random_scale_probability
     """
 
     def __init__(self, file_path, phase, slice_builder_config, transformer_config,
@@ -222,13 +225,18 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
         """Loads the volumes into memory NOW. The process-mode DataLoader
         calls this in the parent before forking its workers, so every worker
         shares the arrays via copy-on-write pages instead of each reading its
-        own full copy of the volume (num_workers x volume RAM otherwise)."""
+        own full copy of the volume (num_workers x volume RAM otherwise).
+        Test phase: the halo-padded volume is what workers read, so pad it
+        here too (each worker padding its own copy would cost
+        num_workers x padded-volume RAM and redundant full-volume reads)."""
         with h5py.File(self.file_path, "r") as f:
             if self.phase in ("train", "val"):
                 if self._raw is None:
                     self._raw = f[self.raw_internal_path][:]
                 if self._label is None and self.label_internal_path is not None and self.label_internal_path in f:
                     self._label = f[self.label_internal_path][:]
+            elif self._raw_padded is None:
+                self._raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
 
     def get_raw_patch(self, idx):
         if self._raw is None:
@@ -284,15 +292,38 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
         with h5py.File(self.file_path, "r") as f:
             return f[self.label_internal_path][idx]
 
+    def preload(self):
+        """Lazy datasets stay on disk; the parent only ensures the cached
+        'raw_padded' dataset exists BEFORE workers fork — concurrent
+        first-access creation would race on the single HDF5 write handle."""
+        if self.phase == "test":
+            self._ensure_raw_padded()
+
+    def _ensure_raw_padded(self) -> bool:
+        """Creates the 'raw_padded' cache dataset (reference hdf5.py:315-332);
+        returns False when the file is not writable (read-only mount)."""
+        try:
+            with h5py.File(self.file_path, "a") as f:
+                if "raw_padded" not in f:
+                    logger.info(f"Creating 'raw_padded' dataset in {self.file_path}")
+                    raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
+                    f.create_dataset("raw_padded", data=raw_padded, compression="gzip")
+            return True
+        except OSError:
+            return False
+
     def get_raw_padded_patch(self, idx):
-        with h5py.File(self.file_path, "r+") as f:
+        with h5py.File(self.file_path, "r") as f:
             if "raw_padded" in f:
                 return f["raw_padded"][idx]
-
-            logger.info(f"Creating 'raw_padded' dataset in {self.file_path}")
-            raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
-            f.create_dataset("raw_padded", data=raw_padded, compression="gzip")
-            return raw_padded[idx]
+        if self._ensure_raw_padded():
+            with h5py.File(self.file_path, "r") as f:
+                return f["raw_padded"][idx]
+        # read-only file: fall back to an in-memory padded copy
+        if getattr(self, "_raw_padded_mem", None) is None:
+            with h5py.File(self.file_path, "r") as f:
+                self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
+        return self._raw_padded_mem[idx]
 
     def is_lazy(self) -> bool:
         return True

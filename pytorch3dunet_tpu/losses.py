@@ -229,7 +229,8 @@ def _smooth_l1(diff, beta=1.0):
 
 class SmoothL1Loss:
     def __call__(self, input, target):
-        return jnp.mean(_smooth_l1(input - target.astype(input.dtype)))
+        input, target = _lane_major(input, target.astype(input.dtype))
+        return jnp.mean(_smooth_l1(input - target))
 
 
 class WeightedSmoothL1Loss:
@@ -242,7 +243,7 @@ class WeightedSmoothL1Loss:
         self.weight = initial_weight
 
     def __call__(self, input, target):
-        target = target.astype(input.dtype)
+        input, target = _lane_major(input, target.astype(input.dtype))
         l1 = _smooth_l1(input - target)
         if self.apply_below_threshold:
             mask = target < self.threshold
@@ -254,13 +255,15 @@ class WeightedSmoothL1Loss:
 
 class MSELoss:
     def __call__(self, input, target):
-        diff = input - target.astype(input.dtype)
+        input, target = _lane_major(input, target.astype(input.dtype))
+        diff = input - target
         return jnp.mean(diff * diff)
 
 
 class L1Loss:
     def __call__(self, input, target):
-        return jnp.mean(jnp.abs(input - target.astype(input.dtype)))
+        input, target = _lane_major(input, target.astype(input.dtype))
+        return jnp.mean(jnp.abs(input - target))
 
 
 def get_loss_criterion(config):
