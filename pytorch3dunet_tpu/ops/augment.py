@@ -105,6 +105,12 @@ def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma:
     field is sampled on a `grid_downsample`-coarser grid, smoothed, and
     upsampled — equivalent smoothness at sigma/grid_downsample, far cheaper
     than a 401-tap blur. Same key => identical displacement for raw and label.
+
+    Amplitude calibration: smoothing unit white noise with a sum-1 Gaussian
+    kernel yields std (2*sqrt(pi)*sigma)^(-3/2), so the coarse-grid field
+    (sigma/gd) is gd^1.5 STRONGER than the host's full-res field for the same
+    alpha; the displacement is scaled by gd^-1.5 to match the host
+    distribution.
     """
     assert spline_order in (0, 1), "device elastic deformation supports order 0 (nearest) and 1 (trilinear)"
     kp, kz, ky, kx = jax.random.split(key, 4)
@@ -127,7 +133,7 @@ def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma:
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
         f = jax.image.resize(f[0, ..., 0], spatial, method="linear")
-        return f * alpha
+        return f * (alpha * grid_downsample**-1.5)
 
     dz = smooth_field(kz) if apply_3d else jnp.zeros(spatial, dtype=jnp.float32)
     dy = smooth_field(ky)
@@ -236,7 +242,11 @@ def split_device_transforms(loaders_config: dict):
         else:
             kept_raw.append(t)
     train_tf["raw"] = kept_raw
-    train_tf["label"] = [t for t in train_tf.get("label", []) if t["name"] not in DEVICE_MOVABLE]
+    # strip only the label transforms that were actually MOVED (paired with a
+    # raw entry); a label-only geometric transform with no raw counterpart
+    # must stay in the host pipeline or it would silently be dropped
+    moved_paired = {p["label"]["name"] for p in spec["paired"]}
+    train_tf["label"] = [t for t in train_tf.get("label", []) if t["name"] not in moved_paired]
     return spec
 
 

@@ -186,11 +186,18 @@ class UNetTrainer:
             logger.info(f"Loading checkpoint '{self._pending_resume}'...")
             state = load_checkpoint(self._pending_resume, self.variables, self.opt_state)
             self.variables = state["model_state_dict"]
-            self.opt_state = state["optimizer_state_dict"]
-            self.best_eval_score = state["best_eval_score"]
+            if state.get("optimizer_state_dict") is not None:
+                self.opt_state = state["optimizer_state_dict"]
+                self.lr_handle.lr = get_lr(self.opt_state)
+            else:
+                # torch-format checkpoints carry no optax state: resume the
+                # weights/counters with a freshly initialized optimizer
+                logger.warning("Checkpoint has no optimizer state (torch format?); optimizer starts fresh")
+                self.opt_state = self.tx.init(self.variables["params"])
+            if state["best_eval_score"] is not None:
+                self.best_eval_score = state["best_eval_score"]
             self.num_iterations = state["num_iterations"]
             self.num_epochs = state["num_epochs"]
-            self.lr_handle.lr = get_lr(self.opt_state)
             logger.info(
                 f"Checkpoint loaded from '{self._pending_resume}'. Epoch: {state['num_epochs']}. "
                 f"Iteration: {state['num_iterations']}. Best val score: {state['best_eval_score']}."

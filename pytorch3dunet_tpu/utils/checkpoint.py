@@ -5,8 +5,10 @@ trainer.py:382-403): `last_checkpoint.pytorch` written every validation cycle
 and copied to `best_checkpoint.pytorch` on metric improvement; a checkpoint
 carries {num_epochs, num_iterations, model_state_dict, best_eval_score,
 optimizer_state_dict}. The on-disk format here is a compressed npz of
-flattened pytree leaves (keyed by path) plus a small metadata record — no
-pickle, so checkpoints are safe to load from untrusted sources.
+order-indexed flattened pytree leaves plus a small metadata record — no
+pickle, so checkpoints are safe to load from untrusted sources. Leaves are
+restored POSITIONALLY against the caller's state template (guarded by a
+leaf-count check), so a checkpoint only loads into a same-structured state.
 """
 
 import io
@@ -23,25 +25,6 @@ logger = get_logger("Checkpoint")
 
 LAST_CHECKPOINT = "last_checkpoint.pytorch"
 BEST_CHECKPOINT = "best_checkpoint.pytorch"
-
-
-def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
-    """Flattens a pytree to {path: numpy array}; named-tuple/list positions are indexed."""
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(_path_token(p) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
-
-
-def _path_token(p) -> str:
-    if hasattr(p, "key"):
-        return str(p.key)
-    if hasattr(p, "idx"):
-        return str(p.idx)
-    if hasattr(p, "name"):
-        return str(p.name)
-    return str(p)
 
 
 def tree_leaves_list(tree) -> list[np.ndarray]:
@@ -68,9 +51,10 @@ def state_to_bytes(state: dict) -> bytes:
             meta[key] = value
         else:
             # pytree: store ordered leaves under a reserved prefix
-            for i, leaf in enumerate(tree_leaves_list(value)):
+            leaves = tree_leaves_list(value)
+            for i, leaf in enumerate(leaves):
                 arrays[f"__tree__/{key}/{i:05d}"] = leaf
-            meta[f"__tree_len__/{key}"] = len(tree_leaves_list(value))
+            meta[f"__tree_len__/{key}"] = len(leaves)
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     buf = io.BytesIO()
     np.savez_compressed(buf, **arrays)
@@ -145,6 +129,9 @@ def load_checkpoint(checkpoint_path: str, variables_template=None, opt_state_tem
             "num_epochs": 0,
             "num_iterations": 1,
             "best_eval_score": None,
+            # torch checkpoints carry a torch.optim state that has no optax
+            # equivalent; callers re-initialize their optimizer
+            "optimizer_state_dict": None,
         }
 
     with open(checkpoint_path, "rb") as f:

@@ -270,4 +270,9 @@ def create_lr_scheduler(lr_config: dict | None, optimizer: OptimizerHandle):
     clazz = _SCHEDULERS.get(class_name)
     if clazz is None:
         raise RuntimeError(f"Unsupported lr scheduler: '{class_name}'")
-    return clazz(optimizer=optimizer, **lr_config)
+    sched = clazz(optimizer=optimizer, **lr_config)
+    if isinstance(sched, _Scheduler):
+        # torch constructors apply the epoch-0 lr immediately (their __init__
+        # calls step() once): e.g. ConstantLR scales the whole first epoch
+        sched.optimizer.lr = sched.get_lr()
+    return sched

@@ -52,6 +52,24 @@ class TestPairedConsistency:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+    def test_elastic_amplitude_matches_host_formula(self):
+        # deforming a z-coordinate ramp exposes the displacement field:
+        # output - ramp == dz. Its std must match the HOST ElasticDeformation
+        # amplitude alpha*(2*sqrt(pi)*sigma)^(-3/2) (sum-1 Gaussian smoothing
+        # of unit noise) — the coarse-grid field is gd^1.5 stronger before
+        # the calibration in ops/augment.py.
+        D = 64
+        alpha, sigma = 500.0, 10.0
+        ramp = np.broadcast_to(np.arange(D, dtype=np.float32)[:, None, None], (D, D, D)).copy()
+        out = elastic_deformation(jax.random.PRNGKey(3), jnp.asarray(ramp)[..., None],
+                                  spline_order=1, alpha=alpha, sigma=sigma,
+                                  execution_probability=1.0, grid_downsample=4)
+        dz = np.asarray(out)[..., 0] - ramp
+        inner = dz[12:-12, 12:-12, 12:-12]  # border reflection distorts edges
+        host_std = alpha * (2 * np.sqrt(np.pi) * sigma) ** -1.5
+        assert 0.5 * host_std < inner.std() < 2.0 * host_std, (inner.std(), host_std)
+
+
 class TestSemantics:
     def test_flip_is_volume_preserving(self):
         x = _vol()
