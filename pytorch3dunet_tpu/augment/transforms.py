@@ -49,6 +49,17 @@ class Compose:
             m = t(m)
         return m
 
+    def reseed(self, seed: int):
+        """Reseeds every transform's RandomState to `seed`. Forked DataLoader
+        workers call this (same seed for the raw AND label pipeline, so
+        paired geometric draws stay in lockstep) — without it every worker
+        inherits identical fork-copied RandomStates and produces the same
+        augmentation sequence."""
+        for t in self.transforms:
+            rs = getattr(t, "random_state", None)
+            if rs is not None and hasattr(rs, "seed"):
+                rs.seed(seed)
+
 
 # ---------------------------------------------------------------------------
 # geometric transforms (shared RNG draws keep raw/label patches aligned)
@@ -586,7 +597,8 @@ class RgbToLabel:
     """RGB image -> single-channel integer label (transforms.py:872-879)."""
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
-        img = np.array(img)
+        # int64 upfront: numpy 2 (NEP 50) no longer upcasts uint8 * 65536
+        img = np.asarray(img).astype(np.int64)
         assert img.ndim == 3 and img.shape[2] == 3
         return img[..., 0] * 65536 + img[..., 1] * 256 + img[..., 2]
 

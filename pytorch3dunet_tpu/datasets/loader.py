@@ -34,8 +34,24 @@ _WORKER_DATASET = None
 def _init_process_worker(key):
     global _WORKER_DATASET
     _WORKER_DATASET = _FORK_DATASETS[key]
-    # re-seed numpy per worker so augmentations decorrelate across processes
-    np.random.seed((os.getpid() * 7919) % (2**31))
+    # decorrelate augmentations across workers: reseed the global RNGs AND
+    # the fork-copied per-transform RandomStates (every worker would
+    # otherwise replay the identical draw sequence). The raw and label
+    # pipelines of a dataset get the SAME seed so paired geometric
+    # transforms stay in lockstep.
+    seed = (os.getpid() * 7919) % (2**31)
+    np.random.seed(seed)
+    import random as _stdlib_random
+
+    _stdlib_random.seed(seed)  # GaussianBlur3D draws from the stdlib module
+    for ds in getattr(_WORKER_DATASET, "datasets", [_WORKER_DATASET]):
+        for name in ("raw_transform", "label_transform", "weight_transform"):
+            t = getattr(ds, name, None)
+            if t is not None and hasattr(t, "reseed"):
+                t.reseed(seed + 1)
+        scaler = getattr(ds, "random_scaler", None)
+        if scaler is not None and hasattr(scaler, "rs"):
+            scaler.rs.seed(seed + 2)
 
 
 def _process_fetch(indices):
@@ -103,6 +119,15 @@ class DataLoader:
         assert worker_mode in ("thread", "process")
         self.worker_mode = worker_mode
         self._executor = None
+        # thread mode with >1 worker: the seed-paired raw/label transform
+        # pipelines share per-transform RandomState objects, so concurrent
+        # __getitem__ calls would interleave their draws and silently break
+        # raw/label geometric alignment. Serialize the transform; threads
+        # still overlap collation/H5 reads with device compute (the numpy
+        # augmentations barely parallelize under the GIL anyway).
+        import threading
+
+        self._fetch_lock = threading.Lock() if (worker_mode == "thread" and self.num_workers > 1) else None
 
     def _get_executor(self):
         """Worker pool, created once and reused across epochs (the reference
@@ -151,7 +176,12 @@ class DataLoader:
             yield indices[b * self.batch_size : (b + 1) * self.batch_size]
 
     def _fetch(self, batch_idx):
-        return self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+        if self._fetch_lock is not None:
+            with self._fetch_lock:
+                items = [self.dataset[int(i)] for i in batch_idx]
+        else:
+            items = [self.dataset[int(i)] for i in batch_idx]
+        return self.collate_fn(items)
 
     def __iter__(self):
         batches = self._batch_indices()

@@ -565,9 +565,24 @@ class UNetTrainer:
         the next train step; formatter errors surface on the next call (a bad
         image layout is a bug, not something to swallow).
         """
-        if input_ncdhw.ndim == 4:
-            # 2D batches: add the singleton depth back for the formatter
-            input_ncdhw = input_ncdhw[:, :, None] if input_ncdhw.shape[1] != 1 else input_ncdhw
+        if is_model_2d(self.model):
+            # 2D batches: restore the singleton depth on EVERY tensor so the
+            # formatter sees its documented NC(D)HW / NDHW layouts —
+            # (N, C, H, W) inputs/predictions would otherwise be misread as
+            # NDHW label volumes (label2rgb of float maps / shape asserts)
+            def _add_z(b):
+                if isinstance(b, (list, tuple)):
+                    return [_add_z(x) for x in b]
+                b = np.asarray(b)
+                if b.ndim == 4:  # (N, C, H, W)
+                    return b[:, :, None]
+                if b.ndim == 3:  # (N, H, W) class map
+                    return b[:, None]
+                return b
+
+            input_ncdhw = _add_z(input_ncdhw)
+            target = _add_z(target)
+            prediction_ncdhw = _add_z(prediction_ncdhw)
         inputs_map = {"inputs": input_ncdhw, "targets": target, "predictions": prediction_ncdhw}
         img_sources = {}
         for name, batch in inputs_map.items():

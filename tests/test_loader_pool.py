@@ -28,3 +28,56 @@ def test_process_pool_persists_across_epochs_and_preloads():
     epoch2 = [b.sum() for b in dl]
     assert dl._executor is executor, "worker pool must be reused across epochs"
     assert epoch1 == epoch2 and len(epoch1) == 4
+
+
+class _AugDS:
+    """Dataset whose transform draws from a fork-copied RandomState (as the
+    real HDF5 datasets do): without per-worker reseeding every process
+    replays the identical augmentation sequence."""
+
+    def __init__(self):
+        from pytorch3dunet_tpu.augment.transforms import AdditiveGaussianNoise, Compose
+
+        rs = np.random.RandomState(0)
+        self.raw_transform = Compose([AdditiveGaussianNoise(rs, scale=(0.5, 1.0), execution_probability=1.0)])
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        return self.raw_transform(np.zeros((4, 4), np.float32))
+
+
+def test_process_workers_decorrelate_augmentations():
+    ds = _AugDS()
+    dl = DataLoader(ds, batch_size=1, num_workers=2, worker_mode="process")
+    batches = [np.asarray(b) for b in dl]
+    # with identical fork-copied RandomStates, worker k's j-th fetch equals
+    # worker k'!=k's j-th fetch; after per-worker reseeding the 16 noise
+    # patches must (virtually) all differ
+    flat = {b.tobytes() for b in batches}
+    assert len(flat) >= 12, f"only {len(flat)} distinct augmented patches out of 16"
+
+
+def test_thread_mode_serializes_paired_transforms():
+    # two seed-paired pipelines sharing draw order must stay aligned even
+    # with 4 worker threads fetching concurrently
+    from pytorch3dunet_tpu.augment.transforms import Compose, RandomFlip
+
+    class _PairedDS:
+        def __init__(self):
+            rs_raw = np.random.RandomState(7)
+            rs_label = np.random.RandomState(7)
+            self.raw_t = Compose([RandomFlip(rs_raw)])
+            self.label_t = Compose([RandomFlip(rs_label)])
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            vol = np.arange(64, dtype=np.float32).reshape(4, 4, 4) + i
+            return self.raw_t(vol.copy()), self.label_t(vol.copy())
+
+    dl = DataLoader(_PairedDS(), batch_size=1, num_workers=4, worker_mode="thread")
+    for raw, label in dl:
+        np.testing.assert_array_equal(raw, label)
