@@ -43,6 +43,9 @@ def get_predictor(model, variables, config: dict):
 
 def main():
     """Loads the model + checkpoint and runs prediction over every test loader."""
+    from pytorch3dunet_tpu.utils.misc import setup_compilation_cache
+
+    setup_compilation_cache()
     config, _ = load_config()
 
     model = get_model(config["model"])
@@ -53,8 +56,10 @@ def main():
     model_path = config["model_path"]
     logger.info(f"Loading model from {model_path}...")
     # parameters are shape-independent of the spatial dims: init with the
-    # default example shape, then restore from the checkpoint
-    variables = model.init(jax.random.PRNGKey(0))
+    # default example shape, then restore from the checkpoint. jit the init:
+    # eager flax init dispatches hundreds of ops one by one, which costs
+    # seconds each over a tunneled TPU (CLAUDE.md)
+    variables = jax.jit(lambda key: model.init(key))(jax.random.PRNGKey(0))
     state = load_checkpoint(model_path, variables)
     variables = state["model_state_dict"]
 

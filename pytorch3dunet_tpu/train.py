@@ -12,6 +12,9 @@ logger = get_logger("TrainingSetup")
 
 def main():
     """Loads the config, seeds the RNGs, builds the trainer, and runs fit()."""
+    from pytorch3dunet_tpu.utils.misc import setup_compilation_cache
+
+    setup_compilation_cache()
     config, config_path = load_config()
     logger.info(config)
 

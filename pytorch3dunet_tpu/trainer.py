@@ -176,7 +176,10 @@ class UNetTrainer:
         if self.variables is not None:
             return
         init_rng, self._rng = jax.random.split(self._rng)
-        self.variables = self.model.module.init(init_rng, jnp.asarray(example_input[:1]), train=False)
+        # jit: eager flax init dispatches each op separately — seconds per op
+        # over a tunneled TPU (CLAUDE.md)
+        init_fn = jax.jit(lambda rng, x: self.model.module.init(rng, x, train=False))
+        self.variables = init_fn(init_rng, jnp.asarray(example_input[:1]))
         self.opt_state = self.tx.init(self.variables["params"])
 
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.variables["params"]))

@@ -47,6 +47,24 @@ class RunningAverage:
         self.avg = self.sum / self.count
 
 
+def setup_compilation_cache():
+    """Persist XLA compilations across CLI runs (a first compile over a
+    tunneled TPU takes 2-10 minutes). P3DUNET_COMPILE_CACHE overrides the
+    per-user default; set it to the empty string to disable."""
+    import jax
+
+    path = os.environ.get("P3DUNET_COMPILE_CACHE")
+    if path == "":
+        return
+    if path is None:
+        path = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "p3dunet", "jax"
+        )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def number_of_features_per_level(init_channel_number: int, num_levels: int) -> list:
     """Geometric channel schedule [f * 2**k] (reference: unet3d/utils.py:110-112)."""
     return [init_channel_number * 2**k for k in range(num_levels)]

@@ -30,11 +30,22 @@ def _build_and_load():
         return None
     with open(source, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"p3dunet_cc3d_{digest}.so")
+    # per-user cache dir (a predictable path in world-writable /tmp could be
+    # pre-planted by another local user and CDLL executes constructors);
+    # compile to a temp name + atomic rename so concurrent builders never
+    # load a half-written ELF
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "p3dunet"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"cc3d_{digest}.so")
     if not os.path.exists(so_path):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", so_path, source]
+        fd, tmp_path = tempfile.mkstemp(suffix=".so", dir=cache_dir)
+        os.close(fd)
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp_path, source]
         logger.info(f"Building native ops: {' '.join(cmd)}")
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp_path, so_path)
     lib = ctypes.CDLL(so_path)
     for name, argtypes in [
         ("cc3d_label_i64", [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

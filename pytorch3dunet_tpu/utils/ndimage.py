@@ -162,6 +162,8 @@ def peak_signal_noise_ratio(image_true: np.ndarray, image_test: np.ndarray, data
             # float images are assumed in [0, 1] (or [-1, 1] if negatives present)
             data_range = 1.0 if image_true.min() >= 0 else 2.0
     err = mean_squared_error(image_true, image_test)
+    if err == 0:
+        return float("inf")  # skimage semantics: identical images -> inf dB
     return float(10.0 * np.log10((data_range**2) / err))
 
 
