@@ -34,7 +34,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 A100_REFERENCE_VOXELS_PER_SEC = 23e6
 
 PATCH = (80, 170, 170)
-BATCH = 1
+# experiment knobs (the shipping benchmark uses the defaults)
+BATCH = int(os.environ.get("P3DUNET_BENCH_BATCH", "1"))
+REMAT = os.environ.get("P3DUNET_BENCH_REMAT", "0") == "1"
+N_STEPS = int(os.environ.get("P3DUNET_BENCH_STEPS", "20"))
 
 
 def build_train_step():
@@ -51,6 +54,7 @@ def build_train_step():
         "num_groups": 8,
         "final_sigmoid": True,
         "dtype": "bfloat16",
+        "remat": REMAT,
     })
     loss_criterion = BCEDiceLoss()
     tx = create_optimizer({"name": "Adam", "learning_rate": 2e-4})
@@ -65,12 +69,17 @@ def build_train_step():
         params, opt_state, rng = carry
         # generate the batch on device: the benchmark measures compute, not
         # the host link (which is tunneled in this environment)
-        rng, kx, ky = jax.random.split(rng, 3)
+        rng, kx, ky, kd = jax.random.split(rng, 4)
         x = jax.random.uniform(kx, (BATCH, *PATCH, 1), dtype=jnp.float32)
         y = (jax.random.uniform(ky, (BATCH, *PATCH, 1)) > 0.5).astype(jnp.float32)
 
         def loss_fn(p):
-            probs, logits = model.module.apply({"params": p}, x, train=False)
+            # train=True + dropout rng: literally the trainer's jitted step
+            # (trainer.py _build_train_step); 'gcr' has no dropout layers but
+            # the benchmarked program must match the production one.
+            probs, logits = model.module.apply(
+                {"params": p}, x, train=True, rngs={"dropout": kd}
+            )
             return loss_criterion(logits, y)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -91,7 +100,7 @@ def build_train_step():
 
 def main():
     run_steps, params, opt_state = build_train_step()
-    n_steps = 20
+    n_steps = N_STEPS
     run = jax.jit(run_steps, static_argnums=(3,), donate_argnums=(0, 1))
 
     # warmup (compile); a different rng key than the timed run so no result

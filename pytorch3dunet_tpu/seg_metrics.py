@@ -1,8 +1,14 @@
-"""Instance segmentation metrics: detection accuracy / average precision.
+"""Instance-level detection metrics (host numpy).
 
-Parity with the reference (pytorch3dunet/unet3d/seg_metrics.py): IoU matrix
-from a sparse contingency table, detection at an IoU threshold, and Kaggle
-DSB2018-style AveragePrecision over IoU 0.50:0.05:0.95. Pure host-side numpy.
+Semantics match the reference (pytorch3dunet/unet3d/seg_metrics.py:5-171) and
+the Kaggle DSB2018 evaluation: an instance IoU matrix is built from a sparse
+contingency table, a ground-truth instance counts as detected at threshold t
+when some predicted instance overlaps it with IoU > t, and AveragePrecision
+is the mean detection accuracy over IoU thresholds 0.50:0.05:0.95.
+
+Unlike the reference's per-threshold loop, detection here is one vectorized
+pass: the (T, n_gt, n_seg) hit tensor `iou[None] > thresholds[:, None, None]`
+is reduced along instance axes to tp/fp/fn for every threshold at once.
 """
 
 import numpy as np
@@ -10,63 +16,75 @@ import numpy as np
 from pytorch3dunet_tpu.utils.ndimage import contingency_table
 
 
+def _compact(labels: np.ndarray) -> np.ndarray:
+    """Relabels instance ids to consecutive 0..K-1 (order preserving), so the
+    contingency table stays as small as the number of distinct instances."""
+    return np.unique(labels, return_inverse=True)[1].reshape(labels.shape)
+
+
+def instance_iou(gt: np.ndarray, seg: np.ndarray) -> np.ndarray:
+    """Dense IoU matrix between every gt and every predicted instance.
+
+    Row/column 0 correspond to background (label 0 after compaction) and are
+    kept so callers can slice them off explicitly.
+    """
+    overlap = contingency_table(_compact(gt), _compact(seg)).toarray()
+    gt_sizes = overlap.sum(axis=1, keepdims=True)
+    seg_sizes = overlap.sum(axis=0, keepdims=True)
+    iou = overlap / (gt_sizes + seg_sizes - overlap)
+    assert 0.0 <= iou.min() and iou.max() <= 1.0
+    return iou
+
+
+def detection_counts(iou: np.ndarray, thresholds) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(tp, fp, fn) arrays, one entry per threshold, from an IoU matrix.
+
+    Background (row/column 0) is excluded from matching. A gt instance is a
+    true positive at threshold t if any predicted instance exceeds t against
+    it; a predicted instance that exceeds t against no gt is a false positive.
+    """
+    foreground = iou[1:, 1:]
+    n_gt, n_seg = foreground.shape
+    thr = np.asarray(thresholds, dtype=np.float64).reshape(-1, 1, 1)
+    hits = foreground[None, :, :] > thr  # (T, n_gt, n_seg)
+    tp = hits.any(axis=2).sum(axis=1)
+    fp = n_seg - hits.any(axis=1).sum(axis=1)
+    fn = n_gt - tp
+    return tp, fp, fn
+
+
+def _ratio(num, den):
+    """Elementwise num/den with the reference's 0-when-no-tp convention."""
+    num = np.asarray(num, dtype=np.float64)
+    den = np.asarray(den, dtype=np.float64)
+    return np.where(num > 0, num / np.maximum(den, 1e-300), 0.0)
+
+
 def precision(tp, fp, fn):
-    return tp / (tp + fp) if tp > 0 else 0
+    return float(_ratio(tp, tp + fp))
 
 
 def recall(tp, fp, fn):
-    return tp / (tp + fn) if tp > 0 else 0
+    return float(_ratio(tp, tp + fn))
 
 
 def accuracy(tp, fp, fn):
-    return tp / (tp + fp + fn) if tp > 0 else 0
+    return float(_ratio(tp, tp + fp + fn))
 
 
 def f1(tp, fp, fn):
-    return (2 * tp) / (2 * tp + fp + fn) if tp > 0 else 0
-
-
-def _relabel(input):
-    _, unique_labels = np.unique(input, return_inverse=True)
-    return unique_labels.reshape(input.shape)
-
-
-def _iou_matrix(gt, seg):
-    # relabel for a compact contingency table
-    gt = _relabel(gt)
-    seg = _relabel(seg)
-
-    n_inter = contingency_table(gt, seg).toarray()
-    n_gt = n_inter.sum(axis=1, keepdims=True)
-    n_seg = n_inter.sum(axis=0, keepdims=True)
-    n_union = n_gt + n_seg - n_inter
-
-    iou_matrix = n_inter / n_union
-    assert 0 <= np.min(iou_matrix) <= np.max(iou_matrix) <= 1
-    return iou_matrix
+    return float(_ratio(2 * tp, 2 * tp + fp + fn))
 
 
 class SegmentationMetrics:
-    """Precision/recall/accuracy/F1 between a ground truth and predicted
-    segmentation, from an eagerly computed IoU matrix (seg_metrics.py:89-134)."""
+    """Precision/recall/accuracy/F1 between a gt and a predicted instance
+    segmentation at a given IoU threshold (reference seg_metrics.py:89-134)."""
 
     def __init__(self, gt, seg):
-        self.iou_matrix = _iou_matrix(gt, seg)
+        self.iou_matrix = instance_iou(gt, seg)
 
-    def metrics(self, iou_threshold):
-        # ignore background (label 0 row/column)
-        iou_matrix = self.iou_matrix[1:, 1:]
-        detection_matrix = (iou_matrix > iou_threshold).astype(np.uint8)
-        n_gt, n_seg = detection_matrix.shape
-
-        trivial = min(n_gt, n_seg) == 0 or np.all(detection_matrix == 0)
-        if trivial:
-            tp = fp = fn = 0
-        else:
-            tp = np.count_nonzero(detection_matrix.sum(axis=1))
-            fn = n_gt - tp
-            fp = n_seg - np.count_nonzero(detection_matrix.sum(axis=0))
-
+    def metrics(self, iou_threshold: float) -> dict:
+        tp, fp, fn = (int(c[0]) for c in detection_counts(self.iou_matrix, [iou_threshold]))
         return {
             "precision": precision(tp, fp, fn),
             "recall": recall(tp, fp, fn),
@@ -76,23 +94,23 @@ class SegmentationMetrics:
 
 
 class Accuracy:
-    """Detection accuracy AC = TP / (TP + FP + FN) at a fixed IoU threshold."""
+    """Detection accuracy AC = TP / (TP + FP + FN) at a fixed IoU threshold
+    (reference seg_metrics.py:137-153)."""
 
-    def __init__(self, iou_threshold):
+    def __init__(self, iou_threshold: float):
         self.iou_threshold = iou_threshold
 
-    def __call__(self, input_seg, gt_seg):
-        metrics = SegmentationMetrics(gt_seg, input_seg).metrics(self.iou_threshold)
-        return metrics["accuracy"]
+    def __call__(self, input_seg, gt_seg) -> float:
+        tp, fp, fn = detection_counts(instance_iou(gt_seg, input_seg), [self.iou_threshold])
+        return float(_ratio(tp, tp + fp + fn)[0])
 
 
 class AveragePrecision:
-    """Mean detection accuracy over IoU thresholds 0.50:0.05:0.95 (DSB2018 metric)."""
+    """Mean detection accuracy over IoU 0.50:0.05:0.95 — the DSB2018 metric
+    (reference seg_metrics.py:156-171) — computed in one vectorized pass."""
 
-    def __init__(self):
-        self.iou_range = np.linspace(0.50, 0.95, 10)
+    iou_range = np.linspace(0.50, 0.95, 10)
 
-    def __call__(self, input_seg, gt_seg):
-        sm = SegmentationMetrics(gt_seg, input_seg)
-        acc = [sm.metrics(iou)["accuracy"] for iou in self.iou_range]
-        return np.mean(acc)
+    def __call__(self, input_seg, gt_seg) -> float:
+        tp, fp, fn = detection_counts(instance_iou(gt_seg, input_seg), self.iou_range)
+        return float(_ratio(tp, tp + fp + fn).mean())
