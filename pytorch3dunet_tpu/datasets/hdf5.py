@@ -295,9 +295,14 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
     def preload(self):
         """Lazy datasets stay on disk; the parent only ensures the cached
         'raw_padded' dataset exists BEFORE workers fork — concurrent
-        first-access creation would race on the single HDF5 write handle."""
-        if self.phase == "test":
-            self._ensure_raw_padded()
+        first-access creation would race on the single HDF5 write handle.
+        If the file is read-only the padded copy is built in the parent's
+        memory instead, so forked workers share it via copy-on-write pages
+        rather than each building num_workers x padded-volume copies."""
+        if self.phase == "test" and not self._ensure_raw_padded():
+            if getattr(self, "_raw_padded_mem", None) is None:
+                with h5py.File(self.file_path, "r") as f:
+                    self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
 
     def _ensure_raw_padded(self) -> bool:
         """Creates the 'raw_padded' cache dataset (reference hdf5.py:315-332);

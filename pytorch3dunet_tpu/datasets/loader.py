@@ -44,14 +44,18 @@ def _init_process_worker(key):
     import random as _stdlib_random
 
     _stdlib_random.seed(seed)  # GaussianBlur3D draws from the stdlib module
-    for ds in getattr(_WORKER_DATASET, "datasets", [_WORKER_DATASET]):
+    for ds_index, ds in enumerate(getattr(_WORKER_DATASET, "datasets", [_WORKER_DATASET])):
+        # distinct seed per dataset (the parent seeded each Transformer
+        # differently too); raw/label pipelines of ONE dataset share a seed
+        # so paired geometric transforms stay in lockstep
+        ds_seed = (seed + 1 + 101 * ds_index) % (2**31)
         for name in ("raw_transform", "label_transform", "weight_transform"):
             t = getattr(ds, name, None)
             if t is not None and hasattr(t, "reseed"):
-                t.reseed(seed + 1)
+                t.reseed(ds_seed)
         scaler = getattr(ds, "random_scaler", None)
         if scaler is not None and hasattr(scaler, "rs"):
-            scaler.rs.seed(seed + 2)
+            scaler.rs.seed((ds_seed + 1) % (2**31))
 
 
 def _process_fetch(indices):
@@ -121,13 +125,18 @@ class DataLoader:
         self._executor = None
         # thread mode with >1 worker: the seed-paired raw/label transform
         # pipelines share per-transform RandomState objects, so concurrent
-        # __getitem__ calls would interleave their draws and silently break
-        # raw/label geometric alignment. Serialize the transform; threads
-        # still overlap collation/H5 reads with device compute (the numpy
-        # augmentations barely parallelize under the GIL anyway).
+        # __getitem__ calls on the SAME dataset would interleave their draws
+        # and silently break raw/label geometric alignment. One lock per
+        # underlying dataset (transform state is per-dataset): fetches from
+        # different datasets of a ConcatDataset still overlap their H5
+        # reads/augmentation, only same-dataset access serializes.
         import threading
 
-        self._fetch_lock = threading.Lock() if (worker_mode == "thread" and self.num_workers > 1) else None
+        if worker_mode == "thread" and self.num_workers > 1:
+            members = getattr(dataset, "datasets", [dataset])
+            self._ds_locks = {id(ds): threading.Lock() for ds in members}
+        else:
+            self._ds_locks = None
 
     def _get_executor(self):
         """Worker pool, created once and reused across epochs (the reference
@@ -175,12 +184,22 @@ class DataLoader:
         for b in range(nb):
             yield indices[b * self.batch_size : (b + 1) * self.batch_size]
 
-    def _fetch(self, batch_idx):
-        if self._fetch_lock is not None:
-            with self._fetch_lock:
-                items = [self.dataset[int(i)] for i in batch_idx]
+    def _get_item(self, idx: int):
+        if self._ds_locks is None:
+            return self.dataset[idx]
+        members = getattr(self.dataset, "datasets", None)
+        if members is None:
+            ds, local_idx = self.dataset, idx
         else:
-            items = [self.dataset[int(i)] for i in batch_idx]
+            cum = self.dataset.cumulative_sizes
+            ds_idx = int(np.searchsorted(cum, idx, side="right"))
+            ds = members[ds_idx]
+            local_idx = idx if ds_idx == 0 else idx - cum[ds_idx - 1]
+        with self._ds_locks[id(ds)]:
+            return ds[local_idx]
+
+    def _fetch(self, batch_idx):
+        items = [self._get_item(int(i)) for i in batch_idx]
         return self.collate_fn(items)
 
     def __iter__(self):

@@ -44,8 +44,13 @@ def _build_and_load():
         os.close(fd)
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp_path, source]
         logger.info(f"Building native ops: {' '.join(cmd)}")
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(tmp_path, so_path)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp_path, so_path)
+        finally:
+            # failed build: drop the mkstemp file instead of littering the cache
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     lib = ctypes.CDLL(so_path)
     for name, argtypes in [
         ("cc3d_label_i64", [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

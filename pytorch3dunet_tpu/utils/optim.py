@@ -179,22 +179,125 @@ class ConstantLR(_Scheduler):
         return self.base_lr * (self.factor if self.last_epoch < self.total_iters else 1.0)
 
 
+def _compile_lr_expression(expr: str):
+    """Compiles a YAML `lr_lambda` expression (e.g. ``"0.95 ** epoch"``) after
+    validating its AST against an arithmetic-only allowlist — the config can
+    only express arithmetic over `epoch`, `math.*`, and min/max/abs/round,
+    never arbitrary code."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Expression, ast.Constant, ast.Load, ast.Call,
+                             ast.BinOp, ast.UnaryOp, ast.IfExp, ast.Compare,
+                             ast.operator, ast.unaryop, ast.cmpop)):
+            continue
+        if isinstance(node, ast.Name) and node.id in ("epoch", "math", "min", "max", "abs", "round"):
+            continue
+        if (isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name)
+                and node.value.id == "math" and not node.attr.startswith("_")):
+            continue
+        raise ValueError(f"unsupported element in lr_lambda expression {expr!r}: {ast.dump(node)[:60]}")
+    code = compile(tree, "<lr_lambda>", "eval")
+    env = {"__builtins__": {}, "math": math, "min": min, "max": max, "abs": abs, "round": round}
+    return lambda epoch: eval(code, env, {"epoch": epoch})  # noqa: S307 — AST-validated above
+
+
 class LambdaLR(_Scheduler):
     """`lr_lambda` accepts a callable or — for YAML configs, where callables
-    cannot be expressed — a Python expression string in `epoch`, e.g.
-    `lr_lambda: "0.95 ** epoch"` (evaluated with `math` available)."""
+    cannot be expressed — an arithmetic expression string in `epoch`, e.g.
+    `lr_lambda: "0.95 ** epoch"` (AST-validated; `math` available)."""
 
     def __init__(self, optimizer, lr_lambda, **kwargs):
         super().__init__(optimizer)
         if isinstance(lr_lambda, str):
-            import math
-
-            code = compile(lr_lambda, "<lr_lambda>", "eval")
-            lr_lambda = lambda epoch: eval(code, {"__builtins__": {}, "math": math}, {"epoch": epoch})  # noqa: E731,S307
+            lr_lambda = _compile_lr_expression(lr_lambda)
         self.lr_lambda = lr_lambda
 
     def get_lr(self):
         return self.base_lr * self.lr_lambda(self.last_epoch)
+
+
+class LinearLR(_Scheduler):
+    """Linear warmup/decay of the lr factor from start_factor to end_factor
+    over total_iters epochs (torch LinearLR semantics)."""
+
+    def __init__(self, optimizer, start_factor=1.0 / 3, end_factor=1.0, total_iters=5, **kwargs):
+        super().__init__(optimizer)
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+
+    def get_lr(self):
+        progress = min(self.last_epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (self.start_factor + (self.end_factor - self.start_factor) * progress)
+
+
+class PolynomialLR(_Scheduler):
+    """Polynomial decay to zero over total_iters epochs (torch PolynomialLR)."""
+
+    def __init__(self, optimizer, total_iters=5, power=1.0, **kwargs):
+        super().__init__(optimizer)
+        self.total_iters = total_iters
+        self.power = power
+
+    def get_lr(self):
+        progress = min(self.last_epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (1.0 - progress) ** self.power
+
+
+class CosineAnnealingWarmRestarts(_Scheduler):
+    """SGDR cosine annealing with restarts every T_0 * T_mult^k epochs
+    (torch CosineAnnealingWarmRestarts semantics)."""
+
+    def __init__(self, optimizer, T_0, T_mult=1, eta_min=0.0, **kwargs):
+        super().__init__(optimizer)
+        assert T_0 > 0 and T_mult >= 1
+        self.T_0 = T_0
+        self.T_mult = T_mult
+        self.eta_min = eta_min
+
+    def get_lr(self):
+        epoch = self.last_epoch
+        if self.T_mult == 1:
+            t_i, t_cur = self.T_0, epoch % self.T_0
+        else:
+            n = int(math.log(epoch / self.T_0 * (self.T_mult - 1) + 1, self.T_mult)) if epoch >= self.T_0 else 0
+            t_i = self.T_0 * self.T_mult**n
+            t_cur = epoch - self.T_0 * (self.T_mult**n - 1) // (self.T_mult - 1)
+        return self.eta_min + (self.base_lr - self.eta_min) * (1 + math.cos(math.pi * t_cur / t_i)) / 2
+
+
+class OneCycleLR(_Scheduler):
+    """One-cycle policy: anneal max_lr/div_factor -> max_lr over the first
+    pct_start of total_steps, then down to max_lr/(div_factor*final_div_factor)
+    (torch OneCycleLR lr schedule; momentum cycling is not modeled)."""
+
+    def __init__(self, optimizer, max_lr, total_steps, pct_start=0.3,
+                 anneal_strategy="cos", div_factor=25.0, final_div_factor=1e4, **kwargs):
+        super().__init__(optimizer)
+        assert anneal_strategy in ("cos", "linear")
+        self.max_lr = max_lr
+        self.total_steps = total_steps
+        self.pct_start = pct_start
+        self.anneal_strategy = anneal_strategy
+        self.initial_lr = max_lr / div_factor
+        self.min_lr = self.initial_lr / final_div_factor
+
+    def _anneal(self, start, end, pct):
+        if self.anneal_strategy == "cos":
+            return end + (start - end) * (1 + math.cos(math.pi * pct)) / 2
+        return start + (end - start) * pct
+
+    def get_lr(self):
+        # torch lays the two phases over a (total_steps - 1) step grid with
+        # the peak at pct_start * total_steps - 1
+        step = min(self.last_epoch, self.total_steps - 1)
+        peak = self.pct_start * self.total_steps - 1
+        if step <= peak:
+            return self._anneal(self.initial_lr, self.max_lr, step / max(peak, 1e-12))
+        pct = (step - peak) / max(self.total_steps - 1 - peak, 1e-12)
+        return self._anneal(self.max_lr, self.min_lr, pct)
 
 
 class ReduceLROnPlateau:
@@ -256,7 +359,11 @@ _SCHEDULERS = {
     "StepLR": StepLR,
     "ExponentialLR": ExponentialLR,
     "CosineAnnealingLR": CosineAnnealingLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
     "ConstantLR": ConstantLR,
+    "LinearLR": LinearLR,
+    "PolynomialLR": PolynomialLR,
+    "OneCycleLR": OneCycleLR,
     "LambdaLR": LambdaLR,
 }
 
@@ -269,7 +376,9 @@ def create_lr_scheduler(lr_config: dict | None, optimizer: OptimizerHandle):
     class_name = lr_config.pop("name")
     clazz = _SCHEDULERS.get(class_name)
     if clazz is None:
-        raise RuntimeError(f"Unsupported lr scheduler: '{class_name}'")
+        raise RuntimeError(
+            f"Unsupported lr scheduler: '{class_name}'. Supported names: {sorted(_SCHEDULERS)}"
+        )
     sched = clazz(optimizer=optimizer, **lr_config)
     if isinstance(sched, _Scheduler):
         # torch constructors apply the epoch-0 lr immediately (their __init__

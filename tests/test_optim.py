@@ -153,3 +153,59 @@ def test_lambda_lr_from_yaml_string():
     for _ in range(3):
         sched.step()
     assert abs(handle.lr - 0.125) < 1e-9
+
+
+def test_lambda_lr_rejects_non_arithmetic():
+    """The YAML expression parser only admits arithmetic — no attribute
+    escapes, imports, or subscripts (it replaced a stripped-builtins eval)."""
+    from pytorch3dunet_tpu.utils.optim import _compile_lr_expression
+
+    fn = _compile_lr_expression("math.exp(-epoch) * max(1, epoch)")
+    assert abs(fn(0) - 1.0) < 1e-12
+    for bad in [
+        "__import__('os').system('true')",
+        "().__class__.__bases__",
+        "[epoch for epoch in (1,)][0]",
+        "epoch.__class__",
+        "open('/etc/passwd')",
+    ]:
+        with pytest.raises(ValueError):
+            _compile_lr_expression(bad)
+
+
+def test_unknown_scheduler_lists_supported_names():
+    with pytest.raises(RuntimeError, match="OneCycleLR"):
+        create_lr_scheduler({"name": "NoSuchScheduler"}, OptimizerHandle(1.0))
+
+
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        ("LinearLR", {"start_factor": 0.25, "end_factor": 1.0, "total_iters": 4}),
+        ("PolynomialLR", {"total_iters": 6, "power": 2.0}),
+        ("CosineAnnealingWarmRestarts", {"T_0": 3, "T_mult": 1, "eta_min": 0.01}),
+        ("CosineAnnealingWarmRestarts", {"T_0": 2, "T_mult": 2, "eta_min": 0.0}),
+        ("OneCycleLR", {"max_lr": 0.1, "total_steps": 10, "pct_start": 0.3}),
+        ("OneCycleLR", {"max_lr": 0.1, "total_steps": 8, "anneal_strategy": "linear"}),
+    ],
+)
+def test_scheduler_trajectory_matches_torch(name, kwargs):
+    """Every epoch's lr matches torch.optim.lr_scheduler exactly (the
+    reference resolves any torch scheduler by name, utils.py:319-328)."""
+    import torch
+
+    base_lr = 0.05
+    p = torch.nn.Parameter(torch.zeros(1))
+    torch_opt = torch.optim.SGD([p], lr=base_lr)
+    torch_sched = getattr(torch.optim.lr_scheduler, name)(torch_opt, **kwargs)
+
+    handle = OptimizerHandle(base_lr)
+    ours = create_lr_scheduler({"name": name, **kwargs}, handle)
+
+    n_steps = kwargs.get("total_steps", 9) - 1
+    for step in range(n_steps):
+        assert handle.lr == pytest.approx(torch_opt.param_groups[0]["lr"], rel=1e-9), f"step {step}"
+        torch_opt.step()
+        torch_sched.step()
+        ours.step()
+    assert handle.lr == pytest.approx(torch_opt.param_groups[0]["lr"], rel=1e-9)
