@@ -177,6 +177,34 @@ class LazyPredictor(StandardPredictor):
         pass
 
 
+def _read_padded_slab(raw, halo_shape, z_lo: int, z_hi: int) -> np.ndarray:
+    """Returns `mirror_pad(volume, halo_shape)[z_lo:z_hi]` as a channels-last
+    float32 slab WITHOUT materializing the padded volume.
+
+    `raw` is an h5py dataset or ndarray, (D, H, W) or channels-first
+    (C, D, H, W). The z planes are fetched with one contiguous read (reflected
+    indices gathered host-side), then H/W are reflect-padded per slab — this
+    is how bigger-than-RAM volumes reach the device sweep (capability parity
+    with the reference's Lazy pairing, datasets/hdf5.py:284-335).
+    """
+    channels_first = raw.ndim == 4
+    depth = int(raw.shape[1] if channels_first else raw.shape[0])
+    hz, hy, hx = halo_shape
+    idx = np.arange(z_lo, z_hi) - hz
+    idx = np.abs(idx)  # reflect at the top edge
+    idx = np.where(idx >= depth, 2 * depth - 2 - idx, idx)  # reflect at the bottom
+    lo, hi = int(idx.min()), int(idx.max())
+    block = raw[:, lo : hi + 1] if channels_first else raw[lo : hi + 1]
+    block = np.asarray(block, dtype=np.float32)
+    slab = block[:, idx - lo] if channels_first else block[idx - lo]
+    if channels_first:
+        slab = np.moveaxis(slab, 0, -1)  # (dz, H, W, C)
+    pad = [(0, 0), (hy, hy), (hx, hx)] + ([(0, 0)] if channels_first else [])
+    if hy or hx:
+        slab = np.pad(slab, pad, mode="reflect")
+    return slab
+
+
 class DeviceSlidingWindowPredictor(StandardPredictor):
     """Sliding-window prediction with the patch sweep running on device.
 
@@ -256,28 +284,40 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         logger.info(f"Processing '{dataset.file_path}' with the device-side sweep...")
         start = time.perf_counter()
 
-        import h5py as _h5py
-
-        with _h5py.File(dataset.file_path, "r") as f:
-            raw = f[dataset.raw_internal_path][:]
-        if raw.ndim == 4:
-            # move channels last for the device path
-            raw = np.moveaxis(raw, 0, -1)
-        padded = mirror_pad(np.asarray(raw, dtype=np.float32), dataset.halo_shape) if raw.ndim == 3 else \
-            np.stack([mirror_pad(raw[..., c], dataset.halo_shape) for c in range(raw.shape[-1])], axis=-1)
-
         # core start positions from the slice grid (spatial part only)
         starts = np.array(
             [[s.start for s in idx[-3:]] for idx in dataset.raw_slices], dtype=np.int32
         )
         patch_shape = tuple(idx.stop - idx.start for idx in dataset.raw_slices[0][-3:])
 
-        n_voxels = int(np.prod(padded.shape))
-        if self.max_device_voxels and n_voxels > self.max_device_voxels:
-            stitched = self._chunked_sweep(padded, starts, patch_shape, dataset.halo_shape, normalize, stats)
-        else:
-            sweep = self._get_sweep(patch_shape, dataset.halo_shape, normalize, stats, weighted=None)
-            stitched = sweep(self.variables, padded, starts, stats=stats)  # (D, H, W, Cout)
+        import h5py as _h5py
+
+        with _h5py.File(dataset.file_path, "r") as f:
+            raw_dset = f[dataset.raw_internal_path]
+            channels_first = raw_dset.ndim == 4
+            spatial = raw_dset.shape[1:] if channels_first else raw_dset.shape
+            cin = raw_dset.shape[0] if channels_first else 1
+            padded_spatial = tuple(s + 2 * h for s, h in zip(spatial, dataset.halo_shape))
+            n_voxels = int(np.prod(padded_spatial)) * cin
+
+            if self.max_device_voxels and n_voxels > self.max_device_voxels:
+                # bigger-than-budget volume: stream z-slabs straight from the
+                # file and the finalized planes straight into the output H5 —
+                # host memory stays O(slab), never O(volume) (the device-side
+                # counterpart of the reference's Lazy dataset + LazyPredictor
+                # pairing, hdf5.py:284-335 + unet3d/predictor.py:228-274)
+                return self._streamed_predict(
+                    dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, start
+                )
+
+            raw = raw_dset[:]
+            if channels_first:
+                raw = np.moveaxis(raw, 0, -1)
+        padded = mirror_pad(np.asarray(raw, dtype=np.float32), dataset.halo_shape) if raw.ndim == 3 else \
+            np.stack([mirror_pad(raw[..., c], dataset.halo_shape) for c in range(raw.shape[-1])], axis=-1)
+
+        sweep = self._get_sweep(patch_shape, dataset.halo_shape, normalize, stats, weighted=None)
+        stitched = sweep(self.variables, padded, starts, stats=stats)  # (D, H, W, Cout)
         prediction_array = np.moveaxis(stitched, -1, 0)  # (Cout, D, H, W)
 
         logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
@@ -304,47 +344,129 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             return mean_iou(prediction_array, gt, n_classes=self.out_channels)
         return None
 
-    def _chunked_sweep(self, padded, starts, patch_shape, halo_shape, normalize, stats):
-        """Sweeps the grid in z-slabs so only one sub-volume lives on device at
-        a time (the device-side LazyPredictor analog for huge volumes).
+    def _streamed_predict(self, dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, t_start):
+        """Z-slab streaming path for volumes over the device budget: input
+        slabs are read from the open H5 dataset (never the whole volume), and
+        finalized output planes are written straight into a chunked gzip H5
+        dataset. Peak host allocation is O(slab), not O(volume)."""
+        output_file = _get_output_file(dataset=dataset, output_dir=self.output_dir)
+        logger.info(f"Saving predictions to: {output_file} (streamed)")
+        with h5py.File(output_file, "w") as out_f:
+            if self.save_segmentation:
+                dset = out_f.create_dataset(
+                    self.output_dataset, shape=spatial, dtype="uint16", chunks=True, compression="gzip"
+                )
 
-        Partial (out, weights) sweeps accumulate on host; chunked mode always
-        uses weighted accumulation so slab boundaries merge correctly.
+                def consume(z, planes):
+                    seg = planes[..., 0] > 0.5 if planes.shape[-1] == 1 else np.argmax(planes, axis=-1)
+                    dset[z : z + len(planes)] = seg.astype("uint16")
+            else:
+                n_out = 1 if self.prediction_channel is not None else self.out_channels
+                dset = out_f.create_dataset(
+                    self.output_dataset, shape=(n_out, *spatial), dtype="float32",
+                    chunks=True, compression="gzip",
+                )
+
+                def consume(z, planes):
+                    arr = np.moveaxis(planes, -1, 0)
+                    if self.prediction_channel is not None:
+                        arr = arr[self.prediction_channel : self.prediction_channel + 1]
+                    dset[:, z : z + planes.shape[0]] = arr
+
+            self._chunked_sweep(raw_dset, starts, patch_shape, dataset.halo_shape, normalize, stats, consume)
+            logger.info(f"Finished device inference in {time.perf_counter() - t_start:.2f} seconds")
+
+            if self.performance_metric is not None:
+                assert self.gt_internal_path is not None
+                gt = _load_dataset(dataset, self.gt_internal_path)
+                prediction_array = dset[...]
+                assert self.performance_metric in ["dice", "mean_iou"]
+                if self.performance_metric == "dice":
+                    return dice_score(prediction_array, gt)
+                return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+        return None
+
+    def _chunked_sweep(self, raw, starts, patch_shape, halo_shape, normalize, stats, consume):
+        """Sweeps the grid in z-slabs so only one sub-volume lives on device
+        (and on host) at a time — the device-side LazyPredictor analog.
+
+        `raw` is an open h5py dataset (or array), (D, H, W) or (C, D, H, W);
+        each slab is read with `_read_padded_slab` (one contiguous H5 read).
+        Finalized output planes are emitted in ascending-z order through
+        `consume(z_start, planes)` with planes shaped (dz, H, W, Cout).
+
+        Stitching semantics match the unchunked sweep: `blend: gaussian`
+        accumulates (out, weights) partials in a rolling buffer across slab
+        boundaries (bit-equal to the one-shot weighted sweep); `blend: assign`
+        stitches write-wins inside each slab and lets later slabs overwrite
+        their full z-extent — identical to the reference's write-wins order
+        because the patch grid is z-major ascending. (With the grid sharded
+        over a mesh, 'assign' averages same-slab overlaps, exactly like the
+        unchunked sharded sweep.)
         """
+        weighted = self.blend == "gaussian"
+        channels_first = raw.ndim == 4
+        depth = int(raw.shape[1] if channels_first else raw.shape[0])
         hz = halo_shape[0]
-        pz = patch_shape[0] + 2 * hz
-        plane_voxels = int(np.prod(padded.shape[1:]))
+        cz = patch_shape[0]
+        pz = cz + 2 * hz
+        plane_voxels = int(np.prod([s + 2 * h for s, h in zip(raw.shape[-2:], halo_shape[1:])]))
+        plane_voxels *= raw.shape[0] if channels_first else 1
         z_capacity = max(int(self.max_device_voxels // max(plane_voxels, 1)), pz)
 
-        out_spatial = tuple(s - 2 * h for s, h in zip(padded.shape[:3], halo_shape))
-        out = np.zeros((*out_spatial, self.out_channels), dtype=np.float32)
-        weights = np.zeros(out_spatial, dtype=np.float32)
+        sweep = self._get_sweep(tuple(patch_shape), tuple(halo_shape), normalize, stats, weighted=weighted)
 
-        z_levels = np.unique(starts[:, 0])
-        sweep = self._get_sweep(tuple(patch_shape), tuple(halo_shape), normalize, stats, weighted=True)
-        chunk: list = []
+        # group ascending z-levels into slabs bounded by the device budget
+        z_levels = [int(z) for z in np.unique(starts[:, 0])]
+        slabs: list[list[int]] = [[]]
+        for z in z_levels:
+            if slabs[-1] and (z - slabs[-1][0] + pz) > z_capacity:
+                slabs.append([])
+            slabs[-1].append(z)
+        logger.info(f"Streamed sweep: {len(z_levels)} z-levels in {len(slabs)} slabs of <= {z_capacity} z-planes")
 
-        def flush(chunk):
-            z0 = int(min(starts[i, 0] for i in chunk))
-            z1 = int(max(starts[i, 0] for i in chunk))
-            sub = padded[z0 : z1 + pz]
-            local = starts[chunk].copy()
+        # rolling emit buffer over [ptr, ptr + len(buf)) output z-planes
+        hw = tuple(raw.shape[-2:])
+        cout = self.out_channels
+        buf_out = np.zeros((0, *hw, cout), dtype=np.float32)
+        buf_w = np.zeros((0, *hw), dtype=np.float32) if weighted else None
+        ptr = 0
+
+        for slab_i, slab_levels in enumerate(slabs):
+            z0, z1 = slab_levels[0], slab_levels[-1]
+            sub = _read_padded_slab(raw, halo_shape, z0, z1 + pz)
+            members = np.isin(starts[:, 0], slab_levels)
+            local = starts[members].copy()
             local[:, 0] -= z0
             part_out, part_w = sweep.sweep_raw(self.variables, sub, local, stats=stats)
-            zo = z1 - z0 + patch_shape[0]  # output extent of the slab
-            out[z0 : z0 + zo] += part_out
-            weights[z0 : z0 + zo] += part_w
+            zo = z1 - z0 + cz  # output extent of the slab
 
-        for z in z_levels:
-            zmin = int(min(starts[i, 0] for i in chunk)) if chunk else int(z)
-            if chunk and (int(z) - zmin + pz) > z_capacity:
-                flush(chunk)
-                chunk = []
-            chunk.extend(np.nonzero(starts[:, 0] == z)[0].tolist())
-        if chunk:
-            flush(chunk)
-        logger.info(f"Chunked sweep: {len(z_levels)} z-levels in slabs of <= {z_capacity} z-planes")
-        return out / np.maximum(weights, 1e-10)[..., None]
+            grow = (z0 + zo) - (ptr + buf_out.shape[0])
+            if grow > 0:
+                buf_out = np.concatenate([buf_out, np.zeros((grow, *hw, cout), np.float32)])
+                if weighted:
+                    buf_w = np.concatenate([buf_w, np.zeros((grow, *hw), np.float32)])
+            lo = z0 - ptr
+            if weighted:
+                buf_out[lo : lo + zo] += part_out
+                buf_w[lo : lo + zo] += part_w
+            elif part_w is not None:
+                # sharded-mesh sweeps always return weighted partials
+                buf_out[lo : lo + zo] = part_out / np.maximum(part_w, 1e-10)[..., None]
+            else:
+                buf_out[lo : lo + zo] = part_out
+
+            emit_end = slabs[slab_i + 1][0] if slab_i + 1 < len(slabs) else depth
+            n_emit = emit_end - ptr
+            if n_emit > 0:
+                planes = buf_out[:n_emit]
+                if weighted:
+                    planes = planes / np.maximum(buf_w[:n_emit], 1e-10)[..., None]
+                consume(ptr, planes)
+                buf_out = buf_out[n_emit:]
+                if weighted:
+                    buf_w = buf_w[n_emit:]
+                ptr = emit_end
 
 
 class DSB2018Predictor(AbstractPredictor):
