@@ -54,3 +54,43 @@ def test_our_config(path):
 )
 def test_reference_config_runs_unchanged(path):
     _check_config(path)
+
+
+# Which on-device normalization the sweep must resolve for every shipped
+# test recipe. A transformer edit that silently drops a recipe to the host
+# loop loses the ~2.7x device-sweep win — this test makes that loud.
+# (2DUnet_dsb2018 predicts per-image via DSB2018Predictor, not the sweep.)
+EXPECTED_DEVICE_PATH = {
+    "2DUnet_confocal_boundary": "standardize",
+    "3DUnet_confocal_boundary": "standardize",
+    "3DUnet_confocal_boundary_tpu": "standardize",
+    "3DUnet_lightsheet_boundary": "standardize",
+    "3DUnet_lightsheet_nuclei": "standardize",
+    "3DUnet_multiclass": "standardize_patch",  # no global_normalization
+    "3DUnet_denoising": "normalize",
+}
+
+TEST_CONFIGS = sorted(glob.glob("/root/repo/resources/*/test_config*.y*ml"))
+
+
+@pytest.mark.parametrize(
+    "path", TEST_CONFIGS, ids=[p.split("/")[-2] for p in TEST_CONFIGS]
+)
+def test_recipe_takes_device_sweep_path(path):
+    from pytorch3dunet_tpu.inference_device import detect_device_path
+
+    recipe = path.split("/")[-2]
+    if recipe not in EXPECTED_DEVICE_PATH:
+        pytest.skip(f"{recipe} does not use the sliding-window sweep")
+
+    config = yaml.safe_load(open(path))
+    loaders = config["loaders"]
+    raw_tf = loaders["test"]["transformer"]["raw"]
+    # global_normalization makes the dataset compute volume mean/std and hand
+    # them to the Transformer as base stats (hdf5.py); mimic that contract
+    stats = {"mean": 0.5, "std": 0.25} if loaders.get("global_normalization") else {}
+
+    resolved = detect_device_path(raw_tf, stats)
+    assert resolved is not None, f"{recipe} fell back to the host loop"
+    mode, _ = resolved
+    assert mode == EXPECTED_DEVICE_PATH[recipe], (recipe, mode)
