@@ -97,6 +97,83 @@ def gaussian_blur(key, x, sigma=(0.1, 2.0), execution_probability: float = 0.5, 
     return jnp.where(jax.random.uniform(kp) < execution_probability, blurred, x)
 
 
+def _bspline3_inverse_matrix(n: int) -> jnp.ndarray:
+    """Inverse of the cubic-B-spline interpolation matrix for an n-sample
+    signal with scipy's 'reflect' boundary (x[-1] = x[0]).
+
+    Interpolation at node i reads (c[i-1] + 4 c[i] + c[i+1]) / 6 with the
+    coefficients inheriting the reflect symmetry (c[-1] = c[0]); solving the
+    tridiagonal system exactly as one dense (n, n) matmul is both exact and
+    MXU-friendly (patch sides are a few hundred samples at most).
+    """
+    import numpy as _np
+
+    m = _np.zeros((n, n), dtype=_np.float64)
+    for i in range(n):
+        m[i, i] = 4.0 / 6.0
+        for j in (i - 1, i + 1):
+            r = j if 0 <= j < n else (0 if j < 0 else n - 1)  # reflect
+            m[i, r] += 1.0 / 6.0
+    return jnp.asarray(_np.linalg.inv(m), dtype=jnp.float32)
+
+
+def _bspline3_prefilter(data):
+    """Per-axis exact cubic-B-spline prefilter of a (D, H, W) volume."""
+    for axis in range(3):
+        inv = _bspline3_inverse_matrix(data.shape[axis])
+        data = jnp.moveaxis(jnp.tensordot(inv, jnp.moveaxis(data, axis, 0), axes=1), 0, axis)
+    return data
+
+
+def _reflect_index(i, n: int):
+    """scipy 'reflect' index extension: (d c b a | a b c d | d c b a)."""
+    i = jnp.mod(i, 2 * n)
+    return jnp.where(i >= n, 2 * n - 1 - i, i)
+
+
+def map_coordinates_cubic(data, coords):
+    """Cubic (order-3) B-spline `map_coordinates` with 'reflect' boundary for
+    a 3-D volume — the device counterpart of the host elastic deformation's
+    raw resampling (scipy map_coordinates(order=3, mode='reflect'),
+    reference transforms.py:264-266). jax.scipy's map_coordinates stops at
+    order 1; this computes the exact spline coefficients (see
+    `_bspline3_prefilter`) and evaluates the 64-tap separable kernel."""
+    c = _bspline3_prefilter(data.astype(jnp.float32))
+    shape = data.shape
+
+    base = [jnp.floor(g) for g in coords]
+    frac = [g - b for g, b in zip(coords, base)]
+
+    def weights(t):
+        t2, t3 = t * t, t * t * t
+        return (
+            (1 - 3 * t + 3 * t2 - t3) / 6.0,  # tap at floor - 1
+            (4 - 6 * t2 + 3 * t3) / 6.0,      # floor
+            (1 + 3 * t + 3 * t2 - 3 * t3) / 6.0,  # floor + 1
+            t3 / 6.0,                          # floor + 2
+        )
+
+    w = [weights(f) for f in frac]
+    idx = [
+        [_reflect_index(b.astype(jnp.int32) + o - 1, n) for o in range(4)]
+        for b, n in zip(base, shape)
+    ]
+
+    flat = c.reshape(-1)
+    sy = shape[2]
+    sz = shape[1] * shape[2]
+    out = jnp.zeros(coords[0].shape, dtype=jnp.float32)
+    for a in range(4):
+        za = idx[0][a] * sz
+        wa = w[0][a]
+        for b in range(4):
+            yb = za + idx[1][b] * sy
+            wab = wa * w[1][b]
+            for d in range(4):
+                out = out + wab * w[2][d] * jnp.take(flat, yb + idx[2][d])
+    return out
+
+
 def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma: float = 50.0,
                         execution_probability: float = 0.1, apply_3d: bool = True, grid_downsample: int = 8):
     """Elastic deformation with Gaussian-smoothed displacement fields.
@@ -111,8 +188,11 @@ def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma:
     (sigma/gd) is gd^1.5 STRONGER than the host's full-res field for the same
     alpha; the displacement is scaled by gd^-1.5 to match the host
     distribution.
+
+    spline_order 3 resamples through `map_coordinates_cubic` — faithful to
+    the host's scipy order-3 raw resampling; 0/1 use jax map_coordinates.
     """
-    assert spline_order in (0, 1), "device elastic deformation supports order 0 (nearest) and 1 (trilinear)"
+    assert spline_order in (0, 1, 3), "device elastic deformation supports spline orders 0, 1 and 3"
     kp, kz, ky, kx = jax.random.split(key, 4)
     spatial = x.shape[:3]
 
@@ -148,6 +228,8 @@ def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma:
     coords = [zz + dz, yy + dy, xx + dx]
 
     def deform_channel(ch):
+        if spline_order == 3:
+            return map_coordinates_cubic(ch, coords)
         return map_coordinates(ch, coords, order=spline_order, mode="reflect")
 
     deformed = jax.vmap(deform_channel, in_axes=-1, out_axes=-1)(x.astype(jnp.float32))
@@ -287,7 +369,11 @@ class DeviceAugmenter:
                         execution_probability=cfg.get("execution_probability", 0.1),
                         apply_3d=cfg.get("apply_3d", True),
                     )
-                    raw = elastic_deformation(k, raw, spline_order=1, **kwargs)
+                    # honor the config's raw spline order (host default is 3,
+                    # reference transforms.py:226); order 2 has no device
+                    # kernel and rounds up to cubic
+                    order = cfg.get("spline_order", 3)
+                    raw = elastic_deformation(k, raw, spline_order=3 if order >= 2 else order, **kwargs)
                     lab_f = label.astype(jnp.float32)
                     lab_f = elastic_deformation(k, lab_f, spline_order=0, **kwargs)
                     label = lab_f.astype(label.dtype) if label_is_int else lab_f
@@ -314,7 +400,8 @@ class DeviceAugmenter:
                 elif name == "RandomRotate":
                     raw = random_rotate(k, raw, _rotate_axes(cfg), cfg.get("angle_spectrum", 30), spline_order=1)
                 elif name == "ElasticDeformation":
-                    raw = elastic_deformation(k, raw, spline_order=1,
+                    order = cfg.get("spline_order", 3)
+                    raw = elastic_deformation(k, raw, spline_order=3 if order >= 2 else order,
                                               alpha=cfg.get("alpha", 2000), sigma=cfg.get("sigma", 50),
                                               execution_probability=cfg.get("execution_probability", 0.1),
                                               apply_3d=cfg.get("apply_3d", True))

@@ -162,3 +162,50 @@ class TestRandomRotate:
         assert not np.allclose(out, vol)
         # interpolation preserves total mass approximately
         assert abs(out.sum() - vol.sum()) / vol.sum() < 0.15
+
+
+class TestCubicMapCoordinates:
+    def test_matches_scipy_order3_reflect(self):
+        from scipy.ndimage import map_coordinates as scipy_mc
+
+        from pytorch3dunet_tpu.ops.augment import map_coordinates_cubic
+
+        rs = np.random.RandomState(0)
+        vol = rs.rand(12, 18, 14).astype(np.float32)
+        # arbitrary sampling positions, including out-of-bounds excursions
+        coords = [rs.uniform(-3, s + 2, size=(400,)).astype(np.float32) for s in vol.shape]
+        ref = scipy_mc(vol.astype(np.float64), np.stack(coords), order=3, mode="reflect")
+        ours = np.asarray(map_coordinates_cubic(jnp.asarray(vol), [jnp.asarray(c) for c in coords]))
+        np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+    def test_identity_at_nodes(self):
+        from pytorch3dunet_tpu.ops.augment import map_coordinates_cubic
+
+        vol = np.random.RandomState(1).rand(6, 7, 8).astype(np.float32)
+        grids = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in vol.shape], indexing="ij")
+        out = np.asarray(map_coordinates_cubic(jnp.asarray(vol), [jnp.asarray(g) for g in grids]))
+        np.testing.assert_allclose(out, vol, atol=2e-6)
+
+
+class TestElasticOrder3:
+    def test_order3_runs_and_differs_from_order1(self):
+        x = _vol(side=24)
+        k = jax.random.PRNGKey(7)
+        o1 = np.asarray(elastic_deformation(k, x, spline_order=1, execution_probability=1.0))
+        o3 = np.asarray(elastic_deformation(k, x, spline_order=3, execution_probability=1.0))
+        assert o1.shape == o3.shape == x.shape
+        assert not np.allclose(o1, np.asarray(x))
+        # same displacement field, different interpolants: close but not equal
+        assert np.abs(o1 - o3).max() > 1e-5
+        assert np.abs(o1 - o3).mean() < 0.05
+
+    def test_order3_raw_pairs_with_order0_label(self):
+        vol = np.zeros((8, 24, 24, 1), np.float32)
+        vol[2:6, 6:18, 6:18] = 1.0
+        k = jax.random.PRNGKey(9)
+        kwargs = dict(alpha=300.0, sigma=12.0, execution_probability=1.0)
+        raw = np.asarray(elastic_deformation(k, jnp.asarray(vol), spline_order=3, **kwargs))
+        lab = np.asarray(elastic_deformation(k, jnp.asarray(vol), spline_order=0, **kwargs))
+        inter = np.logical_and(raw > 0.5, lab > 0.5).sum()
+        union = np.logical_or(raw > 0.5, lab > 0.5).sum()
+        assert inter / union > 0.85
