@@ -272,12 +272,20 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         if is_model_2d(self.model):
             patch_z = dataset.raw_slices[0][-3].stop - dataset.raw_slices[0][-3].start
             if patch_z != 1 or dataset.halo_shape[0] != 0:
-                logger.info("2D model with non-singleton z patches: falling back to the host loop")
+                logger.warning(
+                    "2D model with non-singleton z patches: falling back to the HOST loop "
+                    "(~2.7x slower on TPU). Set patch_shape [1, H, W] and halo_shape "
+                    "[0, hy, hx] to keep the device sweep."
+                )
                 return super().__call__(test_loader)
 
         device_path = detect_device_path(dataset.transformer.phase_config["raw"], dataset.transformer.config_base)
         if device_path is None:
-            logger.info("Unsupported transformer pipeline for the device sweep; falling back to host loop")
+            logger.warning(
+                "Transformer pipeline unsupported by the device sweep: falling back to the "
+                "HOST loop (~2.7x slower on TPU). Supported test pipelines: Standardize / "
+                "Normalize / PercentileNormalizer (non-channelwise) + ToTensor."
+            )
             return super().__call__(test_loader)
         normalize, stats = device_path
 
