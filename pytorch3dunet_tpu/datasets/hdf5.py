@@ -318,16 +318,20 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
             return False
 
     def get_raw_padded_patch(self, idx):
+        # the in-memory fallback (built by preload() for read-only files)
+        # takes priority: re-probing the file for writability would cost one
+        # failed write-open + exception per patch in the hot path
+        if getattr(self, "_raw_padded_mem", None) is not None:
+            return self._raw_padded_mem[idx]
         with h5py.File(self.file_path, "r") as f:
             if "raw_padded" in f:
                 return f["raw_padded"][idx]
         if self._ensure_raw_padded():
             with h5py.File(self.file_path, "r") as f:
                 return f["raw_padded"][idx]
-        # read-only file: fall back to an in-memory padded copy
-        if getattr(self, "_raw_padded_mem", None) is None:
-            with h5py.File(self.file_path, "r") as f:
-                self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
+        # read-only file and no preload: build the in-memory padded copy now
+        with h5py.File(self.file_path, "r") as f:
+            self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
         return self._raw_padded_mem[idx]
 
     def is_lazy(self) -> bool:

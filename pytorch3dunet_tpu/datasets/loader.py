@@ -73,12 +73,17 @@ class ConcatDataset:
     def __len__(self):
         return self.cumulative_sizes[-1]
 
-    def __getitem__(self, idx):
+    def locate(self, idx):
+        """Maps a global index to (member dataset, local index)."""
         if idx < 0:
             idx += len(self)
         dataset_idx = int(np.searchsorted(self.cumulative_sizes, idx, side="right"))
         sample_idx = idx if dataset_idx == 0 else idx - self.cumulative_sizes[dataset_idx - 1]
-        return self.datasets[dataset_idx][sample_idx]
+        return self.datasets[dataset_idx], sample_idx
+
+    def __getitem__(self, idx):
+        ds, sample_idx = self.locate(idx)
+        return ds[sample_idx]
 
 
 def default_collate(batch):
@@ -187,14 +192,10 @@ class DataLoader:
     def _get_item(self, idx: int):
         if self._ds_locks is None:
             return self.dataset[idx]
-        members = getattr(self.dataset, "datasets", None)
-        if members is None:
-            ds, local_idx = self.dataset, idx
+        if isinstance(self.dataset, ConcatDataset):
+            ds, local_idx = self.dataset.locate(idx)
         else:
-            cum = self.dataset.cumulative_sizes
-            ds_idx = int(np.searchsorted(cum, idx, side="right"))
-            ds = members[ds_idx]
-            local_idx = idx if ds_idx == 0 else idx - cum[ds_idx - 1]
+            ds, local_idx = self.dataset, idx
         with self._ds_locks[id(ds)]:
             return ds[local_idx]
 

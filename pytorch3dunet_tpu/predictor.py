@@ -63,6 +63,24 @@ class AbstractPredictor:
         self.gt_internal_path = gt_internal_path
         self._forward_fn = None
 
+    def _to_segmentation(self, probs: np.ndarray, channel_axis: int = 0) -> np.ndarray:
+        """Binarize (>0.5, single channel) or argmax over `channel_axis`, uint16
+        (reference predictor.py:172-179)."""
+        if probs.shape[channel_axis] == 1:
+            return (np.take(probs, 0, axis=channel_axis) > 0.5).astype("uint16")
+        return np.argmax(probs, axis=channel_axis).astype("uint16")
+
+    def _evaluate(self, prediction_array: np.ndarray, dataset):
+        """Post-hoc dice/mean_iou against gt_internal_path (predictor.py:201-214)."""
+        assert self.gt_internal_path is not None
+        gt = _load_dataset(dataset, self.gt_internal_path)
+        assert self.performance_metric in ["dice", "mean_iou"], (
+            f"Unsupported performance metric: {self.performance_metric}, only dice and mean_iou are supported"
+        )
+        if self.performance_metric == "dice":
+            return dice_score(prediction_array, gt)
+        return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+
     def _forward(self, batch_ncdhw: np.ndarray) -> np.ndarray:
         """Jitted channels-last forward; input/output in NC(D)HW layout."""
         if self._forward_fn is None:
@@ -143,15 +161,7 @@ class StandardPredictor(AbstractPredictor):
             self._create_prediction_dataset(h5_output_file, prediction_array)
 
             if self.performance_metric is not None:
-                assert self.gt_internal_path is not None
-                gt = _load_dataset(test_loader.dataset, self.gt_internal_path)
-                prediction_array = prediction_array[...]
-                assert self.performance_metric in ["dice", "mean_iou"], (
-                    f"Unsupported performance metric: {self.performance_metric}, only dice and mean_iou are supported"
-                )
-                if self.performance_metric == "dice":
-                    return dice_score(prediction_array, gt)
-                return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+                return self._evaluate(prediction_array[...], test_loader.dataset)
         return None
 
     def _create_prediction_dataset(self, h5_output_file, prediction_array):
@@ -190,6 +200,10 @@ def _read_padded_slab(raw, halo_shape, z_lo: int, z_hi: int) -> np.ndarray:
     channels_first = raw.ndim == 4
     depth = int(raw.shape[1] if channels_first else raw.shape[0])
     hz, hy, hx = halo_shape
+    if hz >= depth and hz > 0:
+        # same condition under which np.pad(mode='reflect') raises in
+        # mirror_pad: a single reflection cannot cover the halo
+        raise ValueError(f"halo depth {hz} must be smaller than the volume depth {depth}")
     idx = np.arange(z_lo, z_hi) - hz
     idx = np.abs(idx)  # reflect at the top edge
     idx = np.where(idx >= depth, 2 * depth - 2 - idx, idx)  # reflect at the bottom
@@ -331,10 +345,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
 
         if self.save_segmentation:
-            if prediction_array.shape[0] == 1:
-                prediction_array = (prediction_array[0] > 0.5).astype("uint16")
-            else:
-                prediction_array = np.argmax(prediction_array, axis=0).astype("uint16")
+            prediction_array = self._to_segmentation(prediction_array)
         elif self.prediction_channel is not None:
             prediction_array = prediction_array[self.prediction_channel : self.prediction_channel + 1]
 
@@ -344,12 +355,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             h5_output_file.create_dataset(self.output_dataset, data=prediction_array, compression="gzip")
 
         if self.performance_metric is not None:
-            assert self.gt_internal_path is not None
-            gt = _load_dataset(dataset, self.gt_internal_path)
-            assert self.performance_metric in ["dice", "mean_iou"]
-            if self.performance_metric == "dice":
-                return dice_score(prediction_array, gt)
-            return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+            return self._evaluate(prediction_array, dataset)
         return None
 
     def _streamed_predict(self, dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, t_start):
@@ -366,8 +372,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                 )
 
                 def consume(z, planes):
-                    seg = planes[..., 0] > 0.5 if planes.shape[-1] == 1 else np.argmax(planes, axis=-1)
-                    dset[z : z + len(planes)] = seg.astype("uint16")
+                    dset[z : z + len(planes)] = self._to_segmentation(planes, channel_axis=-1)
             else:
                 n_out = 1 if self.prediction_channel is not None else self.out_channels
                 dset = out_f.create_dataset(
@@ -385,13 +390,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             logger.info(f"Finished device inference in {time.perf_counter() - t_start:.2f} seconds")
 
             if self.performance_metric is not None:
-                assert self.gt_internal_path is not None
-                gt = _load_dataset(dataset, self.gt_internal_path)
-                prediction_array = dset[...]
-                assert self.performance_metric in ["dice", "mean_iou"]
-                if self.performance_metric == "dice":
-                    return dice_score(prediction_array, gt)
-                return mean_iou(prediction_array, gt, n_classes=self.out_channels)
+                return self._evaluate(dset[...], dataset)
         return None
 
     def _chunked_sweep(self, raw, starts, patch_shape, halo_shape, normalize, stats, consume):
@@ -408,11 +407,13 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         boundaries (bit-equal to the one-shot weighted sweep); `blend: assign`
         stitches write-wins inside each slab and lets later slabs overwrite
         their full z-extent — identical to the reference's write-wins order
-        because the patch grid is z-major ascending. (With the grid sharded
-        over a mesh, 'assign' averages same-slab overlaps, exactly like the
-        unchunked sharded sweep.)
+        because the patch grid is z-major ascending. With the grid sharded
+        over a mesh the sweep returns uniform-weighted partials, which
+        accumulate across slabs here exactly like gaussian mode — the global
+        overlap average then matches the unchunked sharded sweep.
         """
-        weighted = self.blend == "gaussian"
+        mesh_active = self.shard and len(jax.devices()) > 1
+        weighted = self.blend == "gaussian" or mesh_active
         channels_first = raw.ndim == 4
         depth = int(raw.shape[1] if channels_first else raw.shape[0])
         hz = halo_shape[0]

@@ -42,13 +42,17 @@ def detection_counts(iou: np.ndarray, thresholds) -> tuple[np.ndarray, np.ndarra
     Background (row/column 0) is excluded from matching. A gt instance is a
     true positive at threshold t if any predicted instance exceeds t against
     it; a predicted instance that exceeds t against no gt is a false positive.
+    Only each instance's best IoU matters for these counts, so the detection
+    pass reduces to two max-reductions compared against every threshold at
+    once — O(n_gt * n_seg) total, not O(T * n_gt * n_seg).
     """
     foreground = iou[1:, 1:]
     n_gt, n_seg = foreground.shape
-    thr = np.asarray(thresholds, dtype=np.float64).reshape(-1, 1, 1)
-    hits = foreground[None, :, :] > thr  # (T, n_gt, n_seg)
-    tp = hits.any(axis=2).sum(axis=1)
-    fp = n_seg - hits.any(axis=1).sum(axis=1)
+    thr = np.asarray(thresholds, dtype=np.float64)[:, None]
+    best_gt = foreground.max(axis=1) if n_seg else np.zeros(n_gt)
+    best_seg = foreground.max(axis=0) if n_gt else np.zeros(n_seg)
+    tp = (best_gt[None, :] > thr).sum(axis=1)
+    fp = n_seg - (best_seg[None, :] > thr).sum(axis=1)
     fn = n_gt - tp
     return tp, fp, fn
 

@@ -277,6 +277,10 @@ class OneCycleLR(_Scheduler):
                  anneal_strategy="cos", div_factor=25.0, final_div_factor=1e4, **kwargs):
         super().__init__(optimizer)
         assert anneal_strategy in ("cos", "linear")
+        if kwargs.get("three_phase"):
+            # silently running a two-phase schedule against a three-phase
+            # config would change the whole second half of training
+            raise ValueError("OneCycleLR three_phase=True is not implemented; use the default two-phase schedule")
         self.max_lr = max_lr
         self.total_steps = total_steps
         self.pct_start = pct_start

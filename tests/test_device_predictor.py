@@ -174,6 +174,23 @@ def test_chunked_assign_overlapping_matches_full(tmpdir):
     np.testing.assert_allclose(chunked, full, atol=2e-5)
 
 
+def test_chunked_sharded_assign_overlapping_matches_full(tmpdir):
+    # grid sharded over the mesh + assign + overlap + chunking: partials must
+    # accumulate ACROSS slabs so cross-slab overlaps average exactly like the
+    # unchunked sharded sweep (overwriting would drop earlier-slab weights)
+    config = _make_config(tmpdir, shape=(32, 48, 48))
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [8, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [4, 12, 12]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": True, "blend": "assign"}
+    full = _predict(config, model, variables)
+    config["predictor"]["max_device_voxels"] = 2 * 16 * 64 * 64
+    chunked = _predict(config, model, variables)
+    np.testing.assert_allclose(chunked, full, atol=2e-5)
+
+
 def test_read_padded_slab_matches_mirror_pad():
     from pytorch3dunet_tpu.datasets.utils import mirror_pad
     from pytorch3dunet_tpu.predictor import _read_padded_slab
