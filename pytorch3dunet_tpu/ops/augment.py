@@ -268,6 +268,57 @@ def random_rotate(key, x, axes=((2, 1),), angle_spectrum: float = 30.0, spline_o
     return rotated.astype(x.dtype)
 
 
+def thick_boundary(label, connectivity: int = 2):
+    """skimage/ndimage `find_boundaries(mode='thick')` on device: a voxel is
+    boundary when the max and min label over its footprint differ. The
+    footprint takes offsets in {-1,0,1}^3 with 1..connectivity nonzero
+    coordinates; edge replication matches the host's mode='nearest' filters
+    (utils/ndimage.py find_boundaries)."""
+    lab = label.astype(jnp.float32)
+    padded = jnp.pad(lab, 1, mode="edge")
+    d, h, w = lab.shape
+    mx = lab
+    mn = lab
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                order = (dz != 0) + (dy != 0) + (dx != 0)
+                if order == 0 or order > connectivity:
+                    continue
+                sl = padded[1 + dz : 1 + dz + d, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                mx = jnp.maximum(mx, sl)
+                mn = jnp.minimum(mn, sl)
+    return mx != mn
+
+
+def _recover_ignore(result, label, ignore_index):
+    if ignore_index is None:
+        return result
+    return jnp.where(label == ignore_index, jnp.float32(ignore_index), result)
+
+
+def standard_label_to_boundary(label, ignore_index=None, append_label=False, foreground=False):
+    """Device StandardLabelToBoundary (reference transforms.py:338-379, mode
+    'thick', connectivity 2): (D, H, W) label -> channels-LAST (D, H, W, C)."""
+    b = _recover_ignore(thick_boundary(label).astype(jnp.float32), label, ignore_index)
+    channels = []
+    if foreground:
+        channels.append(_recover_ignore((label > 0).astype(jnp.float32), label, ignore_index))
+    channels.append(b)
+    if append_label:
+        channels.append(label.astype(jnp.float32))
+    return jnp.stack(channels, axis=-1)
+
+
+def blobs_to_mask(label, append_label=False):
+    """Device BlobsToMask without the boundary option (reference
+    transforms.py:382-417): foreground mask (+ original label) channels."""
+    channels = [(label > 0).astype(jnp.float32)]
+    if append_label:
+        channels.append(label.astype(jnp.float32))
+    return jnp.stack(channels, axis=-1)
+
+
 def paired_geometric(key, raw, label, axis_prob: float = 0.5, rot90: bool = True):
     """Applies the shared-geometry transforms (flip + rot90) to a raw/label
     pair with one key — the device analog of the Transformer seed pairing."""
@@ -295,6 +346,15 @@ _PAIRED = {"RandomFlip", "RandomRotate90", "RandomRotate", "ElasticDeformation"}
 def _rotate_axes(cfg) -> tuple:
     axes = cfg.get("axes") or [(1, 0), (2, 1), (2, 0)]
     return tuple(tuple(a) for a in axes)
+
+
+def _label_post_movable(cfg: dict) -> bool:
+    """True when a label-engineering transform has an exact device kernel."""
+    if cfg.get("name") == "StandardLabelToBoundary":
+        return cfg.get("mode", "thick") == "thick"
+    if cfg.get("name") == "BlobsToMask":
+        return not cfg.get("boundary", False)
+    return False
 
 
 def split_device_transforms(loaders_config: dict):
@@ -329,6 +389,24 @@ def split_device_transforms(loaders_config: dict):
     # must stay in the host pipeline or it would silently be dropped
     moved_paired = {p["label"]["name"] for p in spec["paired"]}
     train_tf["label"] = [t for t in train_tf.get("label", []) if t["name"] not in moved_paired]
+
+    # label engineering (boundary/mask channels): when the remaining host
+    # label pipeline is exactly [engineering, ToTensor] and the engineering
+    # op has a device kernel, move it device-side too. Besides removing the
+    # last heavy host transform, this RESTORES the reference's ordering —
+    # boundaries are computed AFTER the geometric deformation, as on host.
+    remaining = train_tf["label"]
+    spec["label_post"] = None
+    if (
+        len(remaining) == 2
+        and remaining[1].get("name") == "ToTensor"
+        and _label_post_movable(remaining[0])
+    ):
+        spec["label_post"] = dict(remaining[0])
+        to_tensor = dict(remaining[1])
+        # the raw label is now 3D on host; the channel stacking happens on device
+        to_tensor["expand_dims"] = True
+        train_tf["label"] = [to_tensor]
     return spec
 
 
@@ -405,6 +483,18 @@ class DeviceAugmenter:
                                               alpha=cfg.get("alpha", 2000), sigma=cfg.get("sigma", 50),
                                               execution_probability=cfg.get("execution_probability", 0.1),
                                               apply_3d=cfg.get("apply_3d", True))
+
+            post = spec.get("label_post")
+            if post is not None:
+                lab3 = label[..., 0].astype(jnp.float32)  # single-channel raw label
+                if post["name"] == "StandardLabelToBoundary":
+                    label = standard_label_to_boundary(
+                        lab3, ignore_index=post.get("ignore_index"),
+                        append_label=post.get("append_label", False),
+                        foreground=post.get("foreground", False),
+                    )
+                else:
+                    label = blobs_to_mask(lab3, append_label=post.get("append_label", False))
             return raw, label
 
         return jax.jit(jax.vmap(augment_one))

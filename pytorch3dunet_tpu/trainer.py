@@ -54,9 +54,11 @@ def create_trainer(config: dict) -> "UNetTrainer":
     device_aug_spec = split_device_transforms(config["loaders"])
     device_augmenter = DeviceAugmenter(device_aug_spec) if device_aug_spec else None
     if device_augmenter is not None:
+        post = device_aug_spec.get("label_post")
         logger.info(
             f"Device augmentation: {len(device_aug_spec['paired'])} paired + "
             f"{len(device_aug_spec['raw_only'])} raw-only transforms moved on-device"
+            + (f" + label engineering ({post['name']})" if post else "")
         )
 
     loaders = get_train_loaders(config)

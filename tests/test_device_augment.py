@@ -209,3 +209,98 @@ class TestElasticOrder3:
         inter = np.logical_and(raw > 0.5, lab > 0.5).sum()
         union = np.logical_or(raw > 0.5, lab > 0.5).sum()
         assert inter / union > 0.85
+
+
+class TestDeviceLabelEngineering:
+    def test_thick_boundary_matches_host(self):
+        from pytorch3dunet_tpu.ops.augment import thick_boundary
+        from pytorch3dunet_tpu.utils import ndimage
+
+        rs = np.random.RandomState(0)
+        # blobby integer label volume (distinct touching regions + background)
+        lab = (rs.rand(12, 20, 20) > 0.6).astype(np.int64)
+        lab[4:8, 5:12, 5:12] = 2
+        lab[:, 14:, 14:] = 3
+        host = ndimage.find_boundaries(lab, connectivity=2, mode="thick")
+        dev = np.asarray(thick_boundary(jnp.asarray(lab)))
+        np.testing.assert_array_equal(dev, host)
+
+    def test_standard_label_to_boundary_matches_host_transform(self):
+        from pytorch3dunet_tpu.augment.transforms import StandardLabelToBoundary
+        from pytorch3dunet_tpu.ops.augment import standard_label_to_boundary
+
+        rs = np.random.RandomState(1)
+        lab = rs.randint(0, 4, size=(8, 16, 16)).astype(np.int64)
+        host = StandardLabelToBoundary(append_label=True, foreground=True)(lab)  # (C, D, H, W)
+        dev = np.asarray(standard_label_to_boundary(jnp.asarray(lab), append_label=True, foreground=True))
+        np.testing.assert_array_equal(np.moveaxis(dev, -1, 0), host.astype(np.float32))
+
+    def test_blobs_to_mask_matches_host_transform(self):
+        from pytorch3dunet_tpu.augment.transforms import BlobsToMask
+        from pytorch3dunet_tpu.ops.augment import blobs_to_mask
+
+        rs = np.random.RandomState(2)
+        lab = rs.randint(0, 3, size=(8, 16, 16)).astype(np.int64)
+        host = BlobsToMask(append_label=True)(lab)
+        dev = np.asarray(blobs_to_mask(jnp.asarray(lab), append_label=True))
+        np.testing.assert_array_equal(np.moveaxis(dev, -1, 0), host.astype(np.float32))
+
+    def test_split_moves_label_engineering(self):
+        from pytorch3dunet_tpu.ops.augment import split_device_transforms
+
+        loaders = {
+            "device_augment": True,
+            "train": {"transformer": {
+                "raw": [{"name": "Standardize"}, {"name": "RandomFlip"},
+                        {"name": "ToTensor", "expand_dims": True}],
+                "label": [{"name": "RandomFlip"},
+                          {"name": "StandardLabelToBoundary", "append_label": True},
+                          {"name": "ToTensor", "expand_dims": False}],
+            }},
+        }
+        spec = split_device_transforms(loaders)
+        assert spec["label_post"]["name"] == "StandardLabelToBoundary"
+        # the host label pipeline shrinks to ToTensor with forced channel dim
+        assert loaders["train"]["transformer"]["label"] == [
+            {"name": "ToTensor", "expand_dims": True}]
+
+    def test_split_keeps_unsupported_engineering_on_host(self):
+        from pytorch3dunet_tpu.ops.augment import split_device_transforms
+
+        loaders = {
+            "device_augment": True,
+            "train": {"transformer": {
+                "raw": [{"name": "RandomFlip"}, {"name": "ToTensor", "expand_dims": True}],
+                # Relabel has no device kernel: the whole tail stays host-side
+                "label": [{"name": "RandomFlip"}, {"name": "Relabel"},
+                          {"name": "BlobsToMask", "append_label": True},
+                          {"name": "ToTensor", "expand_dims": False}],
+            }},
+        }
+        spec = split_device_transforms(loaders)
+        assert spec["label_post"] is None
+        names = [t["name"] for t in loaders["train"]["transformer"]["label"]]
+        assert names == ["Relabel", "BlobsToMask", "ToTensor"]
+
+    def test_augmenter_emits_engineered_channels(self):
+        from pytorch3dunet_tpu.ops.augment import DeviceAugmenter, split_device_transforms
+
+        loaders = {
+            "device_augment": True,
+            "train": {"transformer": {
+                "raw": [{"name": "RandomFlip"}, {"name": "ToTensor", "expand_dims": True}],
+                "label": [{"name": "RandomFlip"},
+                          {"name": "StandardLabelToBoundary", "append_label": True},
+                          {"name": "ToTensor", "expand_dims": False}],
+            }},
+        }
+        spec = split_device_transforms(loaders)
+        aug = DeviceAugmenter(spec)
+        rs = np.random.RandomState(3)
+        raw = jnp.asarray(rs.rand(2, 8, 16, 16, 1).astype(np.float32))
+        label = jnp.asarray(rs.randint(0, 3, size=(2, 8, 16, 16, 1)).astype(np.float32))
+        out_raw, out_label = aug(jax.random.PRNGKey(0), raw, label)
+        assert out_raw.shape == raw.shape
+        # boundary + appended label = 2 channels
+        assert out_label.shape == (2, 8, 16, 16, 2)
+        assert set(np.unique(np.asarray(out_label[..., 0]))) <= {0.0, 1.0}
