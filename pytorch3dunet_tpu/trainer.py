@@ -99,7 +99,7 @@ class UNetTrainer:
                  validate_iters=None, num_iterations=1, num_epoch=0, eval_score_higher_is_better=True,
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
                  max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False,
-                 device_augmenter=None, spatial_sharding=False):
+                 device_augmenter=None, spatial_sharding=False, async_steps=8):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -171,6 +171,16 @@ class UNetTrainer:
         self.log_params = log_params
         self._profiling = False
         self._step_voxels = RunningAverage()
+
+        # async step accounting: reading the loss scalar synchronizes the
+        # device, so per-iteration float(loss) serializes the pipeline on a
+        # high-latency host<->device link. Losses stay device futures and are
+        # flushed every `async_steps` iterations (and at every log/validate
+        # boundary), keeping up to that many steps in flight.
+        self.async_steps = max(1, int(async_steps))
+        self._pending_losses: list = []
+        self._window_voxels = 0.0
+        self._window_t0 = None
 
     # ------------------------------------------------------------------ setup
 
@@ -368,12 +378,25 @@ class UNetTrainer:
 
         import time as _time
 
+        def flush_pending():
+            """Synchronizes and folds all in-flight step losses + throughput."""
+            if not self._pending_losses:
+                return
+            for pending_loss, pending_bs in self._pending_losses:
+                train_losses.update(float(pending_loss), pending_bs)
+            self._pending_losses.clear()
+            if self._window_t0 is not None and self._window_voxels:
+                self._step_voxels.update(self._window_voxels / (_time.perf_counter() - self._window_t0))
+            self._window_voxels = 0.0
+            self._window_t0 = _time.perf_counter()
+
         for t in self.loaders["train"]:
             logger.info(
                 f"Training iteration [{self.num_iterations}/{self.max_num_iterations}]. "
                 f"Epoch [{self.num_epochs}/{self.max_num_epochs - 1}]"
             )
-            _t_start = _time.perf_counter()
+            if self._window_t0 is None:
+                self._window_t0 = _time.perf_counter()
             raw, target_host = t
             inp, target = self._prepare_batch(raw, target_host, augment=True)
             self._ensure_initialized(inp)
@@ -389,11 +412,16 @@ class UNetTrainer:
             )
 
             batch_size = self._batch_size(raw)
-            train_losses.update(float(loss), batch_size)
-
-            # per-step throughput (float(loss) above synchronizes the step)
-            step_voxels = int(np.prod(raw.shape)) // raw.shape[1]  # N*D*H*W
-            self._step_voxels.update(step_voxels / (_time.perf_counter() - _t_start))
+            # losses stay device futures; they flush in bulk so up to
+            # async_steps iterations overlap (transfer + compute pipelined)
+            self._pending_losses.append((loss, batch_size))
+            self._window_voxels += int(np.prod(raw.shape)) // raw.shape[1]  # N*D*H*W
+            if (
+                len(self._pending_losses) >= self.async_steps
+                or self.num_iterations % self.validate_after_iters == 0
+                or self.num_iterations % self.log_after_iters == 0
+            ):
+                flush_pending()
 
             if self.num_iterations % self.validate_after_iters == 0:
                 eval_score = self.validate()
@@ -427,11 +455,20 @@ class UNetTrainer:
                     grads = self._grad_fn(self.variables, step_rng, inp, target)
                     self._log_params(grads)
 
+            if (self.num_iterations % self.validate_after_iters == 0
+                    or self.num_iterations % self.log_after_iters == 0):
+                # validation/logging time must not count against the next
+                # throughput window; the loop head re-arms the timer
+                self._window_t0 = None
+
             if self.should_stop():
+                flush_pending()
                 return True
 
             self.num_iterations += 1
 
+        # don't leak this epoch's in-flight losses into the next epoch's stats
+        flush_pending()
         return False
 
     def should_stop(self) -> bool:
