@@ -138,8 +138,10 @@ class DataLoader:
         import threading
 
         if worker_mode == "thread" and self.num_workers > 1:
-            members = getattr(dataset, "datasets", [dataset])
-            self._ds_locks = {id(ds): threading.Lock() for ds in members}
+            # per-member locks require locate() to resolve global->member
+            # indices; any other dataset type gets one lock on itself
+            members = getattr(dataset, "datasets", None) if hasattr(dataset, "locate") else None
+            self._ds_locks = {id(ds): threading.Lock() for ds in (members or [dataset])}
         else:
             self._ds_locks = None
 
@@ -192,7 +194,9 @@ class DataLoader:
     def _get_item(self, idx: int):
         if self._ds_locks is None:
             return self.dataset[idx]
-        if isinstance(self.dataset, ConcatDataset):
+        # same dispatch rule as the lock construction in __init__: locate()
+        # maps to a member dataset, anything else locks the dataset itself
+        if hasattr(self.dataset, "locate") and id(self.dataset) not in self._ds_locks:
             ds, local_idx = self.dataset.locate(idx)
         else:
             ds, local_idx = self.dataset, idx

@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.ndimage import map_coordinates
 
 
@@ -274,11 +275,12 @@ def thick_boundary(label, connectivity: int = 2):
     footprint takes offsets in {-1,0,1}^3 with 1..connectivity nonzero
     coordinates; edge replication matches the host's mode='nearest' filters
     (utils/ndimage.py find_boundaries)."""
-    lab = label.astype(jnp.float32)
-    padded = jnp.pad(lab, 1, mode="edge")
-    d, h, w = lab.shape
-    mx = lab
-    mn = lab
+    # compare in the input dtype: a float32 downcast would merge integer
+    # instance ids >= 2^24 and silently drop their shared boundary
+    padded = jnp.pad(label, 1, mode="edge")
+    d, h, w = label.shape
+    mx = label
+    mn = label
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -397,11 +399,16 @@ def split_device_transforms(loaders_config: dict):
     # boundaries are computed AFTER the geometric deformation, as on host.
     remaining = train_tf["label"]
     spec["label_post"] = None
-    if (
+    plain_to_tensor = (
         len(remaining) == 2
         and remaining[1].get("name") == "ToTensor"
-        and _label_post_movable(remaining[0])
-    ):
+        # a normalize/dtype-carrying ToTensor runs BEFORE the engineering
+        # once moved (on the raw label instead of the engineered stack) —
+        # that would change the targets; only a plain float cast is safe
+        and not remaining[1].get("normalize", False)
+        and remaining[1].get("dtype", "float32") in ("float32", np.float32, float)
+    )
+    if plain_to_tensor and _label_post_movable(remaining[0]):
         spec["label_post"] = dict(remaining[0])
         to_tensor = dict(remaining[1])
         # the raw label is now 3D on host; the channel stacking happens on device

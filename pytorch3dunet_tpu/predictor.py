@@ -265,6 +265,14 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         patch_batch = self.patch_batch
         if patch_batch is None:
             patch_batch = 16 if is_model_2d(self.model) else 1
+        # resolve the weighted tri-state BEFORE keying: weighted=None means
+        # "blend decides", and mesh sweeps are always weighted — otherwise a
+        # run mixing in-memory and streamed volumes would compile the same
+        # sweep twice (a multi-minute cost over the tunneled TPU)
+        if weighted is None:
+            weighted = self.blend == "gaussian"
+        if mesh is not None:
+            weighted = True
         # the key is purely structural: per-volume stats (global_normalization
         # mean/std) enter the jitted sweep as traced arguments, so every
         # volume reuses ONE compiled program (callers pass stats per call)
@@ -459,10 +467,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             if weighted:
                 buf_out[lo : lo + zo] += part_out
                 buf_w[lo : lo + zo] += part_w
-            elif part_w is not None:
-                # sharded-mesh sweeps always return weighted partials
-                buf_out[lo : lo + zo] = part_out / np.maximum(part_w, 1e-10)[..., None]
             else:
+                # non-mesh assign sweeps return unweighted partials;
+                # overwrite preserves the z-major write-wins order
+                assert part_w is None
                 buf_out[lo : lo + zo] = part_out
 
             emit_end = slabs[slab_i + 1][0] if slab_i + 1 < len(slabs) else depth

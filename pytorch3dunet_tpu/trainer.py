@@ -467,8 +467,10 @@ class UNetTrainer:
 
             self.num_iterations += 1
 
-        # don't leak this epoch's in-flight losses into the next epoch's stats
+        # don't leak this epoch's in-flight losses into the next epoch's
+        # stats, and don't charge inter-epoch dead time to its first window
         flush_pending()
+        self._window_t0 = None
         return False
 
     def should_stop(self) -> bool:

@@ -304,3 +304,34 @@ class TestDeviceLabelEngineering:
         # boundary + appended label = 2 channels
         assert out_label.shape == (2, 8, 16, 16, 2)
         assert set(np.unique(np.asarray(out_label[..., 0]))) <= {0.0, 1.0}
+
+    def test_split_keeps_engineering_when_to_tensor_carries_options(self):
+        from pytorch3dunet_tpu.ops.augment import split_device_transforms
+
+        # normalize/dtype-carrying ToTensor must keep the engineering on host
+        # (once moved, ToTensor would run on the RAW label instead of the
+        # engineered stack and silently change the targets)
+        for tt in ({"name": "ToTensor", "expand_dims": False, "normalize": True},
+                   {"name": "ToTensor", "expand_dims": False, "dtype": "int64"}):
+            loaders = {
+                "device_augment": True,
+                "train": {"transformer": {
+                    "raw": [{"name": "RandomFlip"}, {"name": "ToTensor", "expand_dims": True}],
+                    "label": [{"name": "RandomFlip"},
+                              {"name": "StandardLabelToBoundary", "append_label": True}, dict(tt)],
+                }},
+            }
+            spec = split_device_transforms(loaders)
+            assert spec["label_post"] is None
+            names = [t["name"] for t in loaders["train"]["transformer"]["label"]]
+            assert names == ["StandardLabelToBoundary", "ToTensor"]
+
+    def test_thick_boundary_keeps_large_integer_ids(self):
+        from pytorch3dunet_tpu.ops.augment import thick_boundary
+
+        # adjacent ids 2^24 and 2^24+1 are equal in float32; the boundary
+        # between them must still be detected (integer comparison path)
+        lab = np.full((4, 8, 8), 2**24, dtype=np.int64)
+        lab[:, :, 4:] = 2**24 + 1
+        out = np.asarray(thick_boundary(jnp.asarray(lab)))
+        assert out[:, :, 3:5].all() and not out[:, :, :3].any()
