@@ -344,6 +344,75 @@ class MSE:
         return float(mean_squared_error(np.asarray(input), np.asarray(target)))
 
 
+def device_metric_fn(criterion):
+    """Jittable channels-last device twin of `criterion`, or None.
+
+    The reduction-only metrics (DiceCoefficient, MeanIoU, MSE, PSNR) can run
+    on device so a validation batch ships ONE scalar to the host instead of
+    the full probability volume — decisive on a high-latency host<->device
+    link. Metrics needing host algorithms (connected components, adapted
+    rand, average precision) return None and use the numpy path.
+
+    The returned fn consumes the trainer's channels-last (N, *spatial, C)
+    probabilities and targets (class-map targets have no channel axis); the
+    math matches the numpy implementations above to fp32 rounding.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if type(criterion) is DiceCoefficient:
+        epsilon = criterion.epsilon
+
+        def dice(probs, target):
+            non_channel = tuple(range(probs.ndim - 1))
+            p = probs.astype(jnp.float32)
+            t = target.astype(jnp.float32)
+            intersect = jnp.sum(p * t, axis=non_channel)
+            denominator = jnp.sum(p * p, axis=non_channel) + jnp.sum(t * t, axis=non_channel)
+            return jnp.mean(2.0 * intersect / jnp.clip(denominator, epsilon))
+
+        return jax.jit(dice)
+
+    if type(criterion) is MeanIoU:
+        skip_background = criterion.skip_background
+
+        def mean_iou_dev(probs, target):
+            epsilon = 1e-8
+            if target.ndim == probs.ndim:  # channelwise: threshold per channel
+                spatial = tuple(range(1, probs.ndim - 1))
+                pred = probs > 0.5
+                tar = target != 0
+                inter = jnp.sum(pred & tar, axis=spatial)
+                union = jnp.sum(pred | tar, axis=spatial)
+                return jnp.mean((inter + epsilon) / (union + epsilon))
+            pred_cls = jnp.argmax(probs, axis=-1)
+            spatial = tuple(range(1, pred_cls.ndim))
+            ious = []
+            for c in range(1 if skip_background else 0, probs.shape[-1]):
+                inter = jnp.sum((pred_cls == c) & (target == c), axis=spatial)
+                union = jnp.sum((pred_cls == c) | (target == c), axis=spatial)
+                ious.append((inter + epsilon) / (union + epsilon))
+            return jnp.mean(jnp.stack(ious))
+
+        return jax.jit(mean_iou_dev)
+
+    if type(criterion) is MSE:
+        return jax.jit(lambda probs, target: jnp.mean((probs.astype(jnp.float32) - target.astype(jnp.float32)) ** 2))
+
+    if type(criterion) is PSNR:
+
+        def psnr(probs, target):
+            t = target.astype(jnp.float32)
+            p = probs.astype(jnp.float32)
+            data_range = jnp.where(jnp.min(t) >= 0, 1.0, 2.0)
+            err = jnp.mean((t - p) ** 2)
+            return jnp.where(err == 0, jnp.inf, 10.0 * jnp.log10(data_range**2 / jnp.maximum(err, 1e-38)))
+
+        return jax.jit(psnr)
+
+    return None
+
+
 def get_evaluation_metric(config):
     """Builds the eval metric from config['eval_metric'] (metrics.py:461-479)."""
     assert "eval_metric" in config, "Could not find evaluation metric configuration"

@@ -35,6 +35,8 @@ from pytorch3dunet_tpu.utils.optim import OptimizerHandle, create_lr_scheduler, 
 
 logger = get_logger("UNetTrainer")
 
+_UNSET = object()  # device_metric_fn resolution sentinel (None is a valid result)
+
 
 def create_trainer(config: dict) -> "UNetTrainer":
     """Builds a UNetTrainer from a full config dict (reference: trainer.py:32-78)."""
@@ -152,6 +154,7 @@ class UNetTrainer:
         self._train_step_fn = None
         self._eval_step_fn = None
         self._grad_fn = None
+        self._device_metric_fn = _UNSET
         # TB image writes overlap with the next train step (reference uses a
         # thread pool the same way, trainer.py:343-345)
         from concurrent.futures import ThreadPoolExecutor
@@ -500,6 +503,17 @@ class UNetTrainer:
         else:
             indices = set(rs.choice(n_val, size=self.max_val_images, replace=False).tolist())
 
+        if self._device_metric_fn is _UNSET:
+            from pytorch3dunet_tpu.metrics import device_metric_fn
+
+            self._device_metric_fn = device_metric_fn(self.eval_criterion)
+            if self._device_metric_fn is not None:
+                logger.info(f"Evaluation metric {type(self.eval_criterion).__name__} runs on device "
+                            "(host transfer per batch: 2 scalars)")
+
+        # batches stay in flight: losses/scores are device futures flushed at
+        # the end (the host-metric/image batches synchronize inherently)
+        pending: list = []
         for i, t in enumerate(self.loaders["val"]):
             raw, target_host = t
             inp, target = self._prepare_batch(raw, target_host)
@@ -509,17 +523,22 @@ class UNetTrainer:
 
             probs, loss = self._eval_step_fn(self.variables, inp, target)
             batch_size = self._batch_size(raw)
-            val_losses.update(float(loss), batch_size)
 
-            out_np, tar_np = self._metric_inputs(probs, target)
-            eval_score = self.eval_criterion(out_np, tar_np)
-            val_scores.update(float(eval_score), batch_size)
-
-            if i in indices:
-                self._log_images(np.asarray(raw), np.asarray(target_host), out_np, f"val_{i}_")
+            if self._device_metric_fn is not None and i not in indices:
+                # device twin: only two scalars ever leave the device
+                pending.append((loss, self._device_metric_fn(probs, target), batch_size))
+            else:
+                out_np, tar_np = self._metric_inputs(probs, target)
+                pending.append((loss, float(self.eval_criterion(out_np, tar_np)), batch_size))
+                if i in indices:
+                    self._log_images(np.asarray(raw), np.asarray(target_host), out_np, f"val_{i}_")
 
             if self.validate_iters is not None and self.validate_iters <= i:
                 break
+
+        for loss, score, batch_size in pending:
+            val_losses.update(float(loss), batch_size)
+            val_scores.update(float(score), batch_size)
 
         logger.info(f"Validation finished. Loss: {val_losses.avg}. Evaluation score: {val_scores.avg}")
         self._log_stats("val", val_losses.avg, val_scores.avg)

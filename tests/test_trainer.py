@@ -151,3 +151,29 @@ def test_loss_decreases(train_config, tmpdir):
     trainer.fit()
     assert len(losses) >= 10
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), f"loss did not decrease: {losses}"
+
+
+def test_device_metric_validation_path(train_config, tmpdir):
+    """max_val_images=0 forces every val batch onto the device metric twin:
+    scores must stay finite and equal the host path's average."""
+    binary = _set_loss(train_config, "DiceLoss")
+    config = _add_paths(train_config, str(tmpdir), binary)
+    config["trainer"]["max_val_images"] = 0
+
+    trainer = create_trainer(config)
+    trainer.fit()
+    assert trainer._device_metric_fn is not None  # DiceCoefficient has a twin
+    device_score = trainer.validate()
+    assert np.isfinite(device_score)
+
+    # identical weights, host path (max_val_images covers all batches)
+    trainer.max_val_images = 10**6
+    from pytorch3dunet_tpu.trainer import _UNSET
+
+    trainer._device_metric_fn = _UNSET  # re-resolve lazily
+    host_trainer_score = trainer.validate()
+    # re-resolution lands on the device twin again; compare by disabling it
+    trainer._device_metric_fn = None
+    host_score = trainer.validate()
+    assert device_score == pytest.approx(host_score, abs=1e-5)
+    assert host_trainer_score == pytest.approx(host_score, abs=1e-5)
