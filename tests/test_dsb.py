@@ -113,3 +113,38 @@ class TestDSBPredictor:
         assert shapes == set(sizes)
         # (64,96) and 2x (64,64) padded buckets -> 2 compiled programs, not 3
         assert predictor._forward_fn._cache_size() == 2
+
+
+class TestDSBTraining:
+    def test_train_cli_path_with_blobs_mask(self, tmpdir):
+        """Full trainer over DSB folders: 2D loaders + BlobsToMask targets +
+        checkpointing (the 2DUnet_dsb2018 recipe shape)."""
+        from pytorch3dunet_tpu.trainer import create_trainer
+
+        train_root = _make_dsb_folder(tmpdir, "train")
+        val_root = _make_dsb_folder(tmpdir, "val")
+        ckpt = os.path.join(str(tmpdir), "ckpt")
+        tf = {
+            "raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}],
+            "label": [{"name": "BlobsToMask", "append_label": False},
+                      {"name": "ToTensor", "expand_dims": True}],
+        }
+        config = {
+            "device": "cpu",
+            "model": {"name": "UNet2D", "in_channels": 1, "out_channels": 1, "layer_order": "gcr",
+                      "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": True},
+            "trainer": {"checkpoint_dir": ckpt, "resume": None, "validate_after_iters": 2,
+                        "log_after_iters": 2, "max_num_epochs": 2, "max_num_iterations": 4,
+                        "eval_score_higher_is_better": True},
+            "optimizer": {"learning_rate": 2e-4},
+            "loss": {"name": "BCEDiceLoss"},
+            "eval_metric": {"name": "DiceCoefficient"},
+            "lr_scheduler": None,
+            "loaders": {"dataset": "DSB2018Dataset", "batch_size": 1, "num_workers": 1,
+                        "train": {"file_paths": [train_root], "transformer": tf},
+                        "val": {"file_paths": [val_root], "transformer": tf}},
+        }
+        trainer = create_trainer(config)
+        trainer.fit()
+        assert os.path.exists(os.path.join(ckpt, "last_checkpoint.pytorch"))
+        assert np.isfinite(trainer.best_eval_score)
