@@ -241,9 +241,10 @@ def elastic_deformation(key, x, spline_order: int, alpha: float = 2000.0, sigma:
 def random_rotate(key, x, axes=((2, 1),), angle_spectrum: float = 30.0, spline_order: int = 1):
     """Arbitrary-angle rotation in a randomly chosen spatial plane — device
     analog of RandomRotate (transforms.py:93-139, scipy.ndimage.rotate with
-    reshape=False). Trilinear (order 1) for raw, nearest (order 0) for labels;
-    reflect boundary. Same key => identical plane/angle for raw and label."""
-    assert spline_order in (0, 1)
+    reshape=False). Orders 0 (nearest, the host default), 1 (trilinear) and
+    3 (cubic B-spline via map_coordinates_cubic); reflect boundary. Same
+    key => identical plane/angle for raw and label."""
+    assert spline_order in (0, 1, 3)
     ka, kx = jax.random.split(key)
     angle = jax.random.uniform(kx, (), minval=-angle_spectrum, maxval=angle_spectrum) * jnp.pi / 180.0
     spatial = x.shape[:3]
@@ -260,6 +261,8 @@ def random_rotate(key, x, axes=((2, 1),), angle_spectrum: float = 30.0, spline_o
         coords[a1] = sin * g0 + cos * g1 + c1
 
         def ch(c):
+            if spline_order == 3:
+                return map_coordinates_cubic(c, coords)
             return map_coordinates(c, coords, order=spline_order, mode="reflect")
 
         return jax.vmap(ch, in_axes=-1, out_axes=-1)(x.astype(jnp.float32))
@@ -444,8 +447,14 @@ class DeviceAugmenter:
                     cfg = entry["raw"]
                     axes = _rotate_axes(cfg)
                     spectrum = cfg.get("angle_spectrum", 30)
-                    raw = random_rotate(k, raw, axes, spectrum, spline_order=1)
-                    lab_f = random_rotate(k, label.astype(jnp.float32), axes, spectrum, spline_order=0)
+                    # honor the config's interpolation order (host default 0,
+                    # transforms.py RandomRotate); order 2 rounds up to cubic
+                    raw_order = cfg.get("order", 0)
+                    raw = random_rotate(k, raw, axes, spectrum,
+                                        spline_order=3 if raw_order >= 2 else raw_order)
+                    lab_order = entry["label"].get("order", 0)
+                    lab_f = random_rotate(k, label.astype(jnp.float32), axes, spectrum,
+                                          spline_order=3 if lab_order >= 2 else lab_order)
                     label = lab_f.astype(label.dtype) if label_is_int else lab_f
                 elif name == "ElasticDeformation":
                     cfg = entry["raw"]
@@ -483,7 +492,9 @@ class DeviceAugmenter:
                 elif name == "RandomRotate90" and square_hw:
                     raw = random_rotate90(k, raw)
                 elif name == "RandomRotate":
-                    raw = random_rotate(k, raw, _rotate_axes(cfg), cfg.get("angle_spectrum", 30), spline_order=1)
+                    raw_order = cfg.get("order", 0)
+                    raw = random_rotate(k, raw, _rotate_axes(cfg), cfg.get("angle_spectrum", 30),
+                                        spline_order=3 if raw_order >= 2 else raw_order)
                 elif name == "ElasticDeformation":
                     order = cfg.get("spline_order", 3)
                     raw = elastic_deformation(k, raw, spline_order=3 if order >= 2 else order,

@@ -65,9 +65,13 @@ EXPECTED_DEVICE_PATH = {
     "3DUnet_confocal_boundary": "standardize",
     "3DUnet_confocal_boundary_tpu": "standardize",
     "3DUnet_lightsheet_boundary": "standardize",
+    "3DUnet_lightsheet_boundary_tpu": "standardize",
     "3DUnet_lightsheet_nuclei": "standardize",
+    "3DUnet_lightsheet_nuclei_tpu": "standardize",
     "3DUnet_multiclass": "standardize_patch",  # no global_normalization
+    "3DUnet_multiclass_tpu": "standardize_patch",
     "3DUnet_denoising": "normalize",
+    "3DUnet_denoising_tpu": "normalize",
 }
 
 TEST_CONFIGS = sorted(glob.glob("/root/repo/resources/*/test_config*.y*ml"))
