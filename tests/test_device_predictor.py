@@ -379,3 +379,30 @@ def test_device_per_patch_standardize(tmpdir):
     config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
     device = _predict(config, model, variables)
     np.testing.assert_allclose(device, host, atol=2e-5)
+
+
+def test_multichannel_raw_device_and_streamed(tmpdir):
+    # 4D (C, D, H, W) raw volumes: channels ride the sweep (moved last); the
+    # streamed path must produce the identical prediction
+    config = _make_config(tmpdir, shape=(32, 48, 48))
+    path = os.path.join(str(tmpdir), "vol.h5")
+    with h5py.File(path, "w") as f:  # truncates the 3D fixture
+        f.create_dataset("raw", data=np.random.RandomState(5).rand(2, 32, 48, 48))
+    config["model"]["in_channels"] = 2
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [8, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [8, 24, 24]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False}
+    full = _predict(config, model, variables)
+    assert full.shape == (2, 32, 48, 48)
+
+    config["predictor"]["max_device_voxels"] = 2 * 16 * 64 * 64
+    streamed = _predict(config, model, variables)
+    np.testing.assert_allclose(streamed, full, atol=2e-5)
+
+    # and the host loop agrees with the device sweep
+    config["predictor"] = {"name": "StandardPredictor"}
+    host = _predict(config, model, variables)
+    np.testing.assert_allclose(full, host, atol=2e-5)
