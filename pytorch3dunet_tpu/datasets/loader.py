@@ -141,8 +141,10 @@ class DataLoader:
             # per-member locks require locate() to resolve global->member
             # indices; any other dataset type gets one lock on itself
             members = getattr(dataset, "datasets", None) if hasattr(dataset, "locate") else None
+            self._lock_members = members is not None
             self._ds_locks = {id(ds): threading.Lock() for ds in (members or [dataset])}
         else:
+            self._lock_members = False
             self._ds_locks = None
 
     def _get_executor(self):
@@ -194,9 +196,9 @@ class DataLoader:
     def _get_item(self, idx: int):
         if self._ds_locks is None:
             return self.dataset[idx]
-        # same dispatch rule as the lock construction in __init__: locate()
-        # maps to a member dataset, anything else locks the dataset itself
-        if hasattr(self.dataset, "locate") and id(self.dataset) not in self._ds_locks:
+        # the dispatch decision was fixed at construction: per-member locks
+        # via locate(), or one lock on the dataset itself
+        if self._lock_members:
             ds, local_idx = self.dataset.locate(idx)
         else:
             ds, local_idx = self.dataset, idx

@@ -255,13 +255,14 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         self.patch_batch = patch_batch
         self._sweeps = {}
 
+    def _mesh_active(self) -> bool:
+        return self.shard and len(jax.devices()) > 1
+
     def _get_sweep(self, patch_shape, halo_shape, normalize, stats, weighted):
         from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
         from pytorch3dunet_tpu.parallel import data_mesh
 
-        mesh = None
-        if self.shard and len(jax.devices()) > 1:
-            mesh = data_mesh()
+        mesh = data_mesh() if self._mesh_active() else None
         patch_batch = self.patch_batch
         if patch_batch is None:
             patch_batch = 16 if is_model_2d(self.model) else 1
@@ -420,8 +421,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         accumulate across slabs here exactly like gaussian mode — the global
         overlap average then matches the unchunked sharded sweep.
         """
-        mesh_active = self.shard and len(jax.devices()) > 1
-        weighted = self.blend == "gaussian" or mesh_active
+        weighted = self.blend == "gaussian" or self._mesh_active()
         channels_first = raw.ndim == 4
         depth = int(raw.shape[1] if channels_first else raw.shape[0])
         hz = halo_shape[0]
