@@ -190,9 +190,10 @@ class DeviceSlidingWindow:
 
         B = self.patch_batch
         if B > 1:
-            # callers pad `starts` to a multiple of B (repeat-last for the
-            # plain sweep — idempotent for assignment, weight-proportional for
-            # blending — and sentinels for the sharded sweep)
+            # callers pad `starts` to a multiple of B: repeat-last for the
+            # plain UNWEIGHTED sweep (re-assigning the last patch is a no-op)
+            # and -1 sentinels for every weighted/sharded sweep (their weight
+            # masks to zero in stitch()) — see sweep_raw
             def body_b(i, carry):
                 sb0 = jax.lax.dynamic_slice(starts, (i * B, 0), (B, 3))
                 cores = self._forward_cores_batched(variables, padded_volume, jnp.maximum(sb0, 0), stats)
@@ -293,6 +294,12 @@ def detect_device_path(transformer_config, global_stats) -> tuple[str | None, di
             return "standardize", stats
         return "standardize_patch", {}
     if tail == ["Normalize"]:
+        cfg = next(t for t in transformer_config if t["name"] == "Normalize")
+        # the device op implements the DEFAULT semantics only (patch-local
+        # min/max scaled to [-1, 1]); norm01 / fixed min_value/max_value
+        # configs fall back to the host loop rather than silently diverge
+        if cfg.get("norm01") or cfg.get("min_value") is not None or cfg.get("max_value") is not None:
+            return None
         return "normalize", {}
     if tail == ["PercentileNormalizer"]:
         # merge base stats exactly like Transformer._create_augmentation does

@@ -54,5 +54,14 @@ def shard_file_paths(file_paths: list, process_id: int | None = None, num_proces
     if num_processes <= 1:
         return list(file_paths)
     mine = [p for i, p in enumerate(file_paths) if i % num_processes == process_id]
-    # never leave a host without data: fall back to the full list
-    return mine or list(file_paths)
+    if not mine:
+        # fewer files than hosts: wrap the assignment so a data-less host
+        # shares ONE volume instead of duplicating the whole corpus (which
+        # would double-weight every sample and skew the training sampling)
+        mine = [file_paths[process_id % len(file_paths)]]
+        logger.warning(
+            f"Multi-host: {len(file_paths)} train files for {num_processes} processes — "
+            f"process {process_id} shares {mine[0]} with another host. Provide at least "
+            "one file per host for disjoint sampling."
+        )
+    return mine

@@ -55,15 +55,20 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, ragged_replicated_ok: bool = False):
     """Shards arrays along their leading (batch) axis across the 'data' axis.
 
     Arrays whose batch dimension does not divide the mesh size (e.g. a ragged
     final batch) are replicated instead — correctness first, parallelism when
-    the shapes allow it. Multi-host: each process contributes its LOCAL batch
-    (global batch = sum over processes), assembled with
-    make_array_from_process_local_data; ragged batches are replicated from
-    identical per-host values.
+    the shapes allow it.
+
+    Multi-host: each process contributes its LOCAL batch (global batch = sum
+    over processes), assembled with make_array_from_process_local_data. A
+    non-divisible local batch CANNOT be sharded and "replicating" it would
+    stamp DIFFERENT per-host samples into one nominally-replicated array
+    (silent parameter divergence) — that fallback is only taken when the
+    caller vouches the per-host values are identical (`ragged_replicated_ok`,
+    e.g. validation batches over host-identical files); otherwise it raises.
     """
     n = mesh.devices.size
     multihost = jax.process_count() > 1
@@ -76,6 +81,13 @@ def shard_batch(mesh: Mesh, tree):
             local = jax.local_device_count()
             if x.ndim > 0 and x.shape[0] % local == 0:
                 return jax.make_array_from_process_local_data(NamedSharding(mesh, P(DATA_AXIS)), x)
+            if not ragged_replicated_ok:
+                raise ValueError(
+                    f"multi-host batch axis {x.shape[0] if x.ndim else '()'} does not divide the "
+                    f"{local} local devices and per-host batches differ: pick a batch size "
+                    "divisible by the local device count (a replicated array built from "
+                    "different per-host samples would silently diverge training)"
+                )
             return jax.make_array_from_process_local_data(NamedSharding(mesh, P()), x)
         if x.ndim > 0 and x.shape[0] % n == 0:
             return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))

@@ -21,6 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SPACE_AXIS = "space"
@@ -75,11 +76,13 @@ def space_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (SPACE_AXIS,))
 
 
-def choose_space_mesh(patch_d: int, num_levels: int, min_local: int = 1) -> Mesh:
+def choose_space_mesh(patch_d: int, num_levels: int, min_local: int = 1, pool: int = 2) -> Mesh:
     """Largest device count that keeps every pooling level evenly sharded
-    (min_local=2 for deconv-upsampling models — see spatial_shardable)."""
+    (min_local=2 for deconv-upsampling models — see spatial_shardable;
+    `pool` is the D component of the model's pool_kernel_size — anisotropic
+    models with pool (1, 2, 2) keep D constant through the pyramid)."""
     n = jax.device_count()
-    while n > 1 and not spatial_shardable(patch_d, num_levels, n, min_local=min_local):
+    while n > 1 and not spatial_shardable(patch_d, num_levels, n, pool=pool, min_local=min_local):
         n -= 1
     return space_mesh(n)
 
@@ -91,6 +94,12 @@ def spatial_min_local(model) -> int:
 
     mode, _ = _resolve_upsample(model.module.upsample, model.module.basic_module)
     return 2 if mode == "deconv" else 1
+
+
+def spatial_pool_d(model) -> int:
+    """D component of the model's pooling stride (what the D pyramid divides by)."""
+    pk = model.pool_kernel_size
+    return int(pk) if isinstance(pk, int) else int(pk[0])
 
 
 def validate_spatial_model(model) -> None:
@@ -206,7 +215,7 @@ def build_spatial_train_step(model, loss_criterion, tx, mesh: Mesh, mutable_keys
         grads = jax.lax.pmean(grads, axis)
         new_state = jax.lax.pmean(new_state, axis) if new_state else new_state
         updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
+        new_params = optax.apply_updates(variables["params"], updates)
         new_variables = {"params": new_params, **aux_state, **new_state}
         return new_variables, new_opt_state, loss, probs
 
@@ -237,6 +246,14 @@ def build_dp_sp_train_step(model, loss_criterion, tx, mesh: Mesh):
     data_axis, sp_axis = mesh.axis_names
 
     def shard_fn(variables, opt_state, rng, inp, target):
+        # aux collections (e.g. batch stats) have no pmean wiring here;
+        # build_spatial_train_step carries them — fail loudly, not silently
+        extra = [k for k in variables if k != "params"]
+        if extra:
+            raise NotImplementedError(
+                f"build_dp_sp_train_step supports params-only models; found {extra} "
+                "(use spatial_sharding without data parallelism for stateful models)"
+            )
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         rng = jax.random.fold_in(rng, jax.lax.axis_index(sp_axis))
 
@@ -253,7 +270,7 @@ def build_dp_sp_train_step(model, loss_criterion, tx, mesh: Mesh):
         grads = jax.lax.pmean(jax.lax.pmean(grads, sp_axis), data_axis)
         loss = jax.lax.pmean(loss, data_axis)
         updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
+        new_params = optax.apply_updates(variables["params"], updates)
         return {"params": new_params}, new_opt_state, loss, probs
 
     rep = P()

@@ -321,6 +321,18 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         )
         patch_shape = tuple(idx.stop - idx.start for idx in dataset.raw_slices[0][-3:])
 
+        overlapping = any(
+            len(u := np.unique(starts[:, k])) > 1 and np.min(np.diff(u)) < patch_shape[k]
+            for k in range(3)
+        )
+        if overlapping and self.blend == "assign" and self._mesh_active():
+            logger.warning(
+                "blend 'assign' with an overlapping grid on a sharded mesh AVERAGES "
+                "overlapping patches (the single-device path write-wins). Use "
+                "'blend: gaussian' for well-defined overlap blending, or 'shard: false' "
+                "for exact reference write-wins stitching."
+            )
+
         import h5py as _h5py
 
         with _h5py.File(dataset.file_path, "r") as f:

@@ -282,8 +282,15 @@ class UNetTrainer:
 
     # --------------------------------------------------------------- batching
 
-    def _prepare_batch(self, raw: np.ndarray, target: np.ndarray, augment: bool = False):
-        """(N, C, [D,] H, W) loader batch -> channels-last device layout."""
+    def _prepare_batch(self, raw: np.ndarray, target: np.ndarray, augment: bool = False,
+                       ragged_ok: bool = False):
+        """(N, C, [D,] H, W) loader batch -> channels-last device layout.
+
+        `ragged_ok`: multi-host only — vouches that a non-divisible batch is
+        host-identical (validation batches over the shared val files), so
+        replicating it is sound. Train batches must never set this (the
+        drop_last/global-min capping guarantees divisibility instead).
+        """
         inp = np.moveaxis(np.asarray(raw), 1, -1)
         target = np.asarray(target)
         if target.ndim == raw.ndim:
@@ -303,20 +310,22 @@ class UNetTrainer:
             target = target[:, 0]
         if self.spatial_sharding:
             from pytorch3dunet_tpu.parallel.spatial import (
-                choose_space_mesh, shard_spatial_batch, spatial_min_local, validate_spatial_model,
+                choose_space_mesh, shard_spatial_batch, spatial_min_local, spatial_pool_d,
+                validate_spatial_model,
             )
 
             assert not is_model_2d(self.model), "spatial_sharding requires a 3D model"
             if self.mesh is None:
                 validate_spatial_model(self.model)
                 self.mesh = choose_space_mesh(inp.shape[1], len(self.model.f_maps),
-                                              min_local=spatial_min_local(self.model))
+                                              min_local=spatial_min_local(self.model),
+                                              pool=spatial_pool_d(self.model))
                 logger.info(f"Spatial mesh: patch D axis sharded over {self.mesh.devices.size} device(s)")
             return shard_spatial_batch(self.mesh, (inp, target))
         if self.mesh is None:
             self.mesh = choose_data_mesh(inp.shape[0])
             logger.info(f"Data-parallel mesh: {self.mesh.devices.size} device(s)")
-        inp, target = shard_batch(self.mesh, (inp, target))
+        inp, target = shard_batch(self.mesh, (inp, target), ragged_replicated_ok=ragged_ok)
         return inp, target
 
     @staticmethod
@@ -516,7 +525,9 @@ class UNetTrainer:
         pending: list = []
         for i, t in enumerate(self.loaders["val"]):
             raw, target_host = t
-            inp, target = self._prepare_batch(raw, target_host)
+            # val files are identical on every host, so ragged val batches
+            # replicate identical values (see get_train_loaders)
+            inp, target = self._prepare_batch(raw, target_host, ragged_ok=True)
             self._ensure_initialized(inp)
             if self._eval_step_fn is None:
                 self._eval_step_fn = self._build_eval_step()

@@ -164,3 +164,22 @@ def test_spatial_step_resnet_families(name, order):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(new_vs["params"])),
                     jax.tree_util.tree_leaves(ref_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_spatial_shardable_anisotropic_pool():
+    from pytorch3dunet_tpu.parallel.spatial import spatial_shardable
+
+    # pool (1, 2, 2): D never shrinks, so 8-way sharding of D=40 is exact at
+    # every level — the isotropic-pool simulation would wrongly reject it
+    assert spatial_shardable(40, 5, 8, pool=1)
+    assert not spatial_shardable(40, 5, 8, pool=2)  # 20 % 8 != 0 at level 1
+
+
+def test_shard_file_paths_fewer_files_than_hosts():
+    from pytorch3dunet_tpu.parallel.distributed import shard_file_paths
+
+    files = ["a.h5", "b.h5", "c.h5"]
+    shards = [shard_file_paths(files, process_id=i, num_processes=4) for i in range(4)]
+    # every host gets data; the deficit host shares ONE file, not the corpus
+    assert shards[0] == ["a.h5"] and shards[1] == ["b.h5"] and shards[2] == ["c.h5"]
+    assert len(shards[3]) == 1 and shards[3][0] in files
