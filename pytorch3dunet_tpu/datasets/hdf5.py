@@ -81,7 +81,11 @@ class AbstractHDF5Dataset(ConfigDataset):
         if global_normalization:
             logger.info("Calculating mean and std of the raw data...")
             with h5py.File(file_path, "r") as f:
-                stats = calculate_stats(f[raw_internal_path][:])
+                raw_volume = f[raw_internal_path][:]
+            stats = calculate_stats(raw_volume)
+            # let the in-memory dataset adopt the already-loaded volume so
+            # preload()/first access doesn't re-read multi-GB data from disk
+            self._consume_stats_volume(raw_volume)
         else:
             stats = calculate_stats(None, True)
 
@@ -127,6 +131,10 @@ class AbstractHDF5Dataset(ConfigDataset):
             self.random_scaler = None
 
         self.patch_count = len(self.raw_slices)
+
+    def _consume_stats_volume(self, raw_volume: np.ndarray) -> None:
+        """Hook: offered the raw volume loaded for normalization stats.
+        Default drops it (lazy datasets must not retain volumes in memory)."""
 
     @abstractmethod
     def get_raw_patch(self, idx) -> np.ndarray:
@@ -206,6 +214,10 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
     def __init__(self, file_path, phase, slice_builder_config, transformer_config,
                  raw_internal_path="raw", label_internal_path="label",
                  global_normalization=False, random_scale=None, random_scale_probability=0.5):
+        # set BEFORE super().__init__: _consume_stats_volume fires inside it
+        self._raw = None
+        self._raw_padded = None
+        self._label = None
         super().__init__(
             file_path=file_path,
             phase=phase,
@@ -217,9 +229,11 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
             random_scale=random_scale,
             random_scale_probability=random_scale_probability,
         )
-        self._raw = None
-        self._raw_padded = None
-        self._label = None
+
+    def _consume_stats_volume(self, raw_volume: np.ndarray) -> None:
+        # in-memory dataset: the volume read for stats IS the training data
+        if self.phase in ("train", "val"):
+            self._raw = raw_volume
 
     def preload(self):
         """Loads the volumes into memory NOW. The process-mode DataLoader
@@ -304,11 +318,23 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
                 with h5py.File(self.file_path, "r") as f:
                     self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
 
+    def _expected_padded_shape(self, raw_shape) -> tuple:
+        return tuple(s + 2 * h for s, h in zip(raw_shape[-3:], self.halo_shape))
+
     def _ensure_raw_padded(self) -> bool:
         """Creates the 'raw_padded' cache dataset (reference hdf5.py:315-332);
-        returns False when the file is not writable (read-only mount)."""
+        returns False when the file is not writable (read-only mount). A stale
+        cache from a run with a DIFFERENT halo shape is detected by its shape
+        and rebuilt — reusing it would misalign every border patch."""
         try:
             with h5py.File(self.file_path, "a") as f:
+                expected = self._expected_padded_shape(f[self.raw_internal_path].shape)
+                if "raw_padded" in f and tuple(f["raw_padded"].shape[-3:]) != expected:
+                    logger.warning(
+                        f"'raw_padded' cache in {self.file_path} has shape {f['raw_padded'].shape}, "
+                        f"expected {expected} for halo {self.halo_shape}: rebuilding"
+                    )
+                    del f["raw_padded"]
                 if "raw_padded" not in f:
                     logger.info(f"Creating 'raw_padded' dataset in {self.file_path}")
                     raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
@@ -324,7 +350,8 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
         if getattr(self, "_raw_padded_mem", None) is not None:
             return self._raw_padded_mem[idx]
         with h5py.File(self.file_path, "r") as f:
-            if "raw_padded" in f:
+            if "raw_padded" in f and tuple(f["raw_padded"].shape[-3:]) == \
+                    self._expected_padded_shape(f[self.raw_internal_path].shape):
                 return f["raw_padded"][idx]
         if self._ensure_raw_padded():
             with h5py.File(self.file_path, "r") as f:

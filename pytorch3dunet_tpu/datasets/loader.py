@@ -117,7 +117,10 @@ class DataLoader:
         # cap on batches per epoch: multi-host training truncates every host
         # to the GLOBAL minimum so each collective train step has all hosts
         self.max_batches = max_batches
-        self.prefetch_batches = prefetch_batches or (self.num_workers + 2)
+        if prefetch_batches is None:
+            prefetch_batches = self.num_workers + 2
+        assert prefetch_batches >= 1, "prefetch_batches must be >= 1 (the fetch window drives iteration)"
+        self.prefetch_batches = prefetch_batches
         if seed is None:
             # derive from the global RNG so `manual_seed` makes shuffling
             # deterministic (reference parity with torch's seeded generators)

@@ -290,11 +290,15 @@ def get_train_loaders(config: dict) -> dict:
     import jax
 
     if jax.process_count() > 1:
+        from pytorch3dunet_tpu.datasets.hdf5 import traverse_h5_paths
         from pytorch3dunet_tpu.parallel.distributed import shard_file_paths
 
         loaders_config = dict(loaders_config)
         loaders_config["train"] = dict(loaders_config["train"])
-        mine = shard_file_paths(loaders_config["train"]["file_paths"])
+        # expand directory entries FIRST: sharding the raw config list would
+        # hand a whole directory (all its volumes) to several hosts at once,
+        # silently breaking per-host disjointness
+        mine = shard_file_paths(traverse_h5_paths(loaders_config["train"]["file_paths"]))
         logger.info(f"Multi-host: process {jax.process_index()} trains on {mine}")
         loaders_config["train"]["file_paths"] = mine
 
@@ -310,11 +314,14 @@ def get_train_loaders(config: dict) -> dict:
     # marked "replicated" while holding DIFFERENT per-host samples (the train
     # files are host-sharded above) — silent parameter divergence. Drop it.
     # Validation files are identical on every host, so ragged val batches
-    # replicate identical values and stay correct.
-    drop_last = jax.process_count() > 1
+    # replicate identical values and stay correct. Single-host users can opt
+    # in via `loaders.drop_last` (a ragged tail costs an extra multi-minute
+    # compile over a tunneled TPU and runs replicated on a multi-device mesh).
+    drop_last = jax.process_count() > 1 or loaders_config.get("drop_last", False)
+    worker_mode = loaders_config.get("worker_mode")
     train_loader = DataLoader(
         ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True, num_workers=num_workers,
-        drop_last=drop_last,
+        drop_last=drop_last, worker_mode=worker_mode,
     )
     if jax.process_count() > 1:
         # every train step is a global collective (shard_batch + grad psum):
@@ -332,7 +339,8 @@ def get_train_loaders(config: dict) -> dict:
         "train": train_loader,
         # no shuffling for validation: stable batches make progress visible in TB
         "val": DataLoader(
-            ConcatDataset(val_datasets), batch_size=batch_size, shuffle=False, num_workers=num_workers
+            ConcatDataset(val_datasets), batch_size=batch_size, shuffle=False, num_workers=num_workers,
+            worker_mode=worker_mode,
         ),
     }
 

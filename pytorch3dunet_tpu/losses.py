@@ -124,7 +124,7 @@ class DiceLoss(_AbstractDiceLoss):
     """Dice loss (arXiv:1606.04797); logits normalized by sigmoid by default."""
 
     def dice(self, input, target, weight):
-        return compute_per_channel_dice(input, target, weight=self.weight)
+        return compute_per_channel_dice(input, target, weight=weight)
 
 
 class GeneralizedDiceLoss(_AbstractDiceLoss):
@@ -189,6 +189,11 @@ class CrossEntropyLoss:
 
     def _compute(self, input, target, weight):
         num_classes = input.shape[-1]
+        # lane-major flatten (see _lane_major): log_softmax/gather over a
+        # (N, D, H, W, C) tensor with C of 2-5 classes wastes most of each
+        # 128-lane tile; (N, S, C) keeps the reductions lane-dense
+        input = input.reshape(input.shape[0], -1, num_classes)
+        target = target.reshape(target.shape[0], -1)
         target = target.astype(jnp.int32)
         valid = target != self.ignore_index
         safe_target = jnp.where(valid, target, 0)

@@ -71,21 +71,24 @@ def collapse_phase_kernels(kernel):
     return out
 
 
+def _phase_embed(kernels) -> jnp.ndarray:
+    """Zero-embeds one kernel per phase (a, b, c | c fastest — the ordering
+    contract shared with depth_to_space_blocks) at spatial offsets
+    [a:, b:, c:], concatenated along Cout. `kernels` is a list of 8 per-phase
+    kernels or ONE kernel used for every phase."""
+    blocks = []
+    for i, (a, b, c) in enumerate((a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)):
+        k = kernels[i] if isinstance(kernels, list) else kernels
+        blocks.append(jnp.pad(k, ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0), (0, 0))))
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def embed_wide_kernel(kernel):
     """(3,3,3,Ci,Co) -> (3,3,3,Ci,8*Co): each output-channel block (a,b,c)
     holds that phase's collapsed 2x2x2 kernel zero-embedded at spatial
     offsets [a:a+2, b:b+2, c:c+2]. A single VALID 3^3 conv over the padded
     half-res tensor then produces every upsample phase at once."""
-    kernels = collapse_phase_kernels(kernel)
-    blocks = []
-    i = 0
-    for a in (0, 1):
-        for b in (0, 1):
-            for c in (0, 1):
-                K = kernels[i]
-                i += 1
-                blocks.append(jnp.pad(K, ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0), (0, 0))))
-    return jnp.concatenate(blocks, axis=-1)
+    return _phase_embed(collapse_phase_kernels(kernel))
 
 
 def depth_to_space_blocks(out, F):
@@ -152,12 +155,7 @@ def strided_conv_blocks(x, kernel):
     N, D, H, W, C = x.shape
     F = kernel.shape[-1]
     d = D // 2
-    blocks = []
-    for a in (0, 1):
-        for b in (0, 1):
-            for c in (0, 1):
-                blocks.append(jnp.pad(kernel, ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0), (0, 0))))
-    k4 = jnp.concatenate(blocks, axis=-1)  # (4, 4, 4, C, 8F)
+    k4 = _phase_embed(kernel)  # (4, 4, 4, C, 8F): same 3^3 kernel per phase
 
     xp = jnp.pad(x, ((0, 0), (1, 2), (0, 0), (0, 0), (0, 0)))
     out = None

@@ -225,3 +225,37 @@ class TestLoader:
             assert raw.shape[0] <= 4
             total += raw.shape[0]
         assert total == len(ds)
+
+
+def test_lazy_raw_padded_stale_halo_cache_rebuilt(tmpdir):
+    """A 'raw_padded' cache built with a different halo must be rebuilt, not
+    silently reused (it would misalign every border patch)."""
+    import h5py
+
+    from pytorch3dunet_tpu.datasets.hdf5 import LazyHDF5Dataset
+
+    path = os.path.join(str(tmpdir), "vol.h5")
+    vol = np.random.RandomState(0).rand(16, 70, 70).astype("float32")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=vol)
+
+    def build(halo):
+        return LazyHDF5Dataset(
+            path, "test",
+            {"name": "SliceBuilder", "patch_shape": [8, 64, 64], "stride_shape": [8, 64, 64],
+             "halo_shape": list(halo), "skip_shape_check": True},
+            {"raw": [{"name": "ToTensor", "expand_dims": True}]},
+        )
+
+    ds_a = build((2, 4, 4))
+    ds_a.preload()
+    with h5py.File(path, "r") as f:
+        assert f["raw_padded"].shape == (20, 78, 78)
+
+    ds_b = build((4, 8, 8))  # different halo: stale cache must be replaced
+    patch = ds_b.get_raw_padded_patch((slice(0, 16), slice(0, 20), slice(0, 20)))
+    with h5py.File(path, "r") as f:
+        assert f["raw_padded"].shape == (24, 86, 86)
+    from pytorch3dunet_tpu.datasets.utils import mirror_pad
+
+    np.testing.assert_array_equal(patch, mirror_pad(vol, (4, 8, 8))[0:16, 0:20, 0:20])
