@@ -306,7 +306,9 @@ class ResNetBlock(nn.Module):
         common = dict(
             kernel_size=self.kernel_size,
             num_groups=self.num_groups,
-            padding=(_to_tuple(self.kernel_size, self.spatial_rank)[0] - 1) // 2,
+            # per-axis 'same' padding: anisotropic kernels (e.g. [1, 3, 3])
+            # pad each axis by its own (k-1)//2
+            padding=tuple((k - 1) // 2 for k in _to_tuple(self.kernel_size, self.spatial_rank)),
             spatial_rank=self.spatial_rank,
             dtype=self.dtype,
         )
@@ -591,9 +593,10 @@ class Decoder(nn.Module):
     spatial_rank: int = 3
     dtype: jnp.dtype | None = None
 
-    def _fused_path_ok(self, encoder_features, x, packed) -> bool:
-        """The fused upsample+concat+conv1 path (ops/upconv.py) applies to the
-        flagship decoder shape: nearest 2x (exact per-dim), concat joining,
+    def _fused_path_ok(self, encoder_features, x, packed) -> "str | bool":
+        """Returns 'full' / 'mixed' (which fused upsample+concat+conv1 variant
+        applies, ops/upconv.py) or False. The fused path covers the flagship
+        decoder shape: nearest 2x (exact per-dim), concat joining,
         DoubleConv with a {''|'g'}-prefix conv order, rank 3, unpacked,
         no spatial model parallelism, 3^3 kernel with 'same' padding."""
         if _os.environ.get("P3DUNET_FUSED_DECODER", "1") != "1":

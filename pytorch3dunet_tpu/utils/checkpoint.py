@@ -38,7 +38,18 @@ def restore_tree(template, leaves: list[np.ndarray]):
     assert len(template_leaves) == len(leaves), (
         f"Checkpoint has {len(leaves)} leaves but the state expects {len(template_leaves)}"
     )
-    cast = [np.asarray(leaf).astype(np.asarray(t).dtype) for t, leaf in zip(template_leaves, leaves)]
+    cast = []
+    for i, (t, leaf) in enumerate(zip(template_leaves, leaves)):
+        t = np.asarray(t)
+        leaf = np.asarray(leaf)
+        # fail HERE with a clear message, not later inside the jitted step:
+        # same structure + different shapes means e.g. a different f_maps
+        if t.ndim > 0 and t.shape != leaf.shape:
+            raise ValueError(
+                f"Checkpoint leaf {i} has shape {leaf.shape} but the state expects {t.shape} "
+                "(was the checkpoint trained with a different model configuration?)"
+            )
+        cast.append(leaf.astype(t.dtype))
     return jax.tree_util.tree_unflatten(treedef, cast)
 
 
@@ -74,6 +85,11 @@ def bytes_to_state(blob: bytes) -> dict:
             if key.startswith("__tree_len__/"):
                 continue
             state[key] = value
+        for key, value in meta.items():
+            # a zero-leaf pytree stores no array entries; recreate its key so
+            # the save/load round-trip preserves it (e.g. an EmptyState)
+            if key.startswith("__tree_len__/") and value == 0:
+                state[key.split("/", 1)[1]] = []
         for tree_key, leaves in trees.items():
             state[tree_key] = [leaves[i] for i in sorted(leaves)]
     return state
@@ -85,8 +101,16 @@ def save_checkpoint(state: dict, is_best: bool, checkpoint_dir: str):
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     last_file_path = os.path.join(checkpoint_dir, LAST_CHECKPOINT)
-    with open(last_file_path, "wb") as f:
-        f.write(state_to_bytes(state))
+    # atomic write-then-rename: a crash mid-write must never truncate the
+    # only resume checkpoint in place
+    tmp_path = last_file_path + ".tmp"
+    try:
+        with open(tmp_path, "wb") as f:
+            f.write(state_to_bytes(state))
+        os.replace(tmp_path, last_file_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
     if is_best:
         shutil.copyfile(last_file_path, os.path.join(checkpoint_dir, BEST_CHECKPOINT))
 
@@ -100,7 +124,10 @@ def _is_torch_checkpoint(path: str) -> bool:
             names = z.namelist()
         return any(n.endswith("data.pkl") for n in names) and "__meta__.npy" not in names
     except zipfile.BadZipFile:
-        return False
+        # legacy (pre-1.6) torch checkpoints are a bare pickle stream, not a
+        # zip: route them to torch.load instead of a confusing np.load error
+        with open(path, "rb") as f:
+            return f.read(2).startswith(b"\x80")
 
 
 def load_checkpoint(checkpoint_path: str, variables_template=None, opt_state_template=None) -> dict:
@@ -120,9 +147,11 @@ def load_checkpoint(checkpoint_path: str, variables_template=None, opt_state_tem
         logger.info(f"Detected torch checkpoint format: {checkpoint_path}")
         variables = load_torch_checkpoint_as_variables(checkpoint_path)
         if variables_template is not None:
-            # keep non-param collections (e.g. batch_stats) from the template
+            # template supplies any collection the checkpoint lacks; the
+            # checkpoint's own collections (params AND imported batch_stats)
+            # take precedence
             merged = dict(variables_template)
-            merged["params"] = variables["params"]
+            merged.update(variables)
             variables = merged
         return {
             "model_state_dict": variables,

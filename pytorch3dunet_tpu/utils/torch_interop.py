@@ -153,11 +153,56 @@ def torch_state_dict_to_params(state: dict[str, np.ndarray]) -> dict:
     return params
 
 
+def _flax_scope_path(torch_prefix: str, state: dict) -> list[str]:
+    """Maps a torch module prefix to the flax scope path: encoders.{i} ->
+    encoder{i}, decoders.{i} -> decoder{i}; the SE variant's flax ResNetBlock
+    nests under 'block' while torch keeps conv children flat."""
+    parts = torch_prefix.split(".")
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        if parts[i] in ("encoders", "decoders"):
+            out.append(("encoder" if parts[i] == "encoders" else "decoder") + parts[i + 1])
+            i += 2
+        else:
+            if parts[i] == "basic_module":
+                bm_prefix = ".".join(parts[: i + 1])
+                if any(k.startswith(f"{bm_prefix}.se_module.") for k in state):
+                    out.extend(["basic_module", "block"])
+                    i += 1
+                    continue
+            out.append(parts[i])
+            i += 1
+    return out
+
+
+def torch_state_dict_to_batch_stats(state: dict[str, np.ndarray]) -> dict:
+    """Extracts BatchNorm running statistics into a flax 'batch_stats' tree
+    ('b'-order models; without these, imported checkpoints would silently
+    infer with the init statistics mean=0/var=1)."""
+    stats: dict = {}
+    for key in state:
+        if not key.endswith(".batchnorm.running_mean"):
+            continue
+        prefix = key[: -len(".running_mean")]
+        node = stats
+        for name in _flax_scope_path(prefix, state)[:-1]:
+            node = node.setdefault(name, {})
+        node["batchnorm"] = {"mean": state[prefix + ".running_mean"],
+                             "var": state[prefix + ".running_var"]}
+    return stats
+
+
 def load_torch_checkpoint_as_variables(path: str) -> dict:
-    """Loads a reference .pytorch checkpoint into a {'params': ...} variables dict."""
+    """Loads a reference .pytorch checkpoint into a variables dict
+    ({'params': ...} plus 'batch_stats' for 'b'-order models)."""
     state = load_torch_state_dict(path)
     logger.info(f"Converting torch state dict with {len(state)} tensors from {path}")
-    return {"params": torch_state_dict_to_params(state)}
+    variables = {"params": torch_state_dict_to_params(state)}
+    batch_stats = torch_state_dict_to_batch_stats(state)
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
 
 
 # ---------------------------------------------------------------------------
@@ -219,11 +264,43 @@ def params_to_torch_state_dict(params: dict) -> dict:
     return out
 
 
+def _export_batch_stats(prefix_t: str, tree: dict, out: dict):
+    for name, sub in tree.items():
+        path = f"{prefix_t}.{name}" if prefix_t else name
+        if not isinstance(sub, dict):
+            continue
+        if "mean" in sub and "var" in sub:
+            out[f"{path}.running_mean"] = np.asarray(sub["mean"])
+            out[f"{path}.running_var"] = np.asarray(sub["var"])
+            # torch BatchNorm state dicts carry this counter; 0 keeps
+            # load_state_dict(strict=True) happy without affecting eval
+            out[f"{path}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+        else:
+            next_prefix = prefix_t if name == "block" else path
+            _export_batch_stats(next_prefix, sub, out)
+
+
+def batch_stats_to_torch_entries(batch_stats: dict) -> dict:
+    """flax 'batch_stats' tree -> torch running_mean/running_var entries."""
+    out: dict[str, np.ndarray] = {}
+    for name, tree in batch_stats.items():
+        if name.startswith("encoder"):
+            _export_batch_stats(f"encoders.{name[len('encoder'):]}", tree, out)
+        elif name.startswith("decoder"):
+            _export_batch_stats(f"decoders.{name[len('decoder'):]}", tree, out)
+        else:
+            _export_batch_stats("", {name: tree}, out)
+    return out
+
+
 def save_torch_checkpoint(variables: dict, path: str):
-    """Saves our variables as a torch-loadable reference checkpoint."""
+    """Saves our variables as a torch-loadable reference checkpoint
+    (including BatchNorm running statistics for 'b'-order models)."""
     import torch
 
-    state = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
-             params_to_torch_state_dict(variables["params"]).items()}
+    entries = params_to_torch_state_dict(variables["params"])
+    if variables.get("batch_stats"):
+        entries.update(batch_stats_to_torch_entries(variables["batch_stats"]))
+    state = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in entries.items()}
     torch.save({"model_state_dict": state}, path)
     logger.info(f"Saved torch-format checkpoint with {len(state)} tensors to {path}")

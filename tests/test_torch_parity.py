@@ -221,3 +221,48 @@ def test_export_loads_into_reference():
     with torch.no_grad():
         want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1)))
     np.testing.assert_allclose(np.moveaxis(np.asarray(probs), -1, 1), _np(want), atol=2e-4)
+
+
+def test_batchnorm_running_stats_roundtrip_parity():
+    """'bcr'-order checkpoints: running_mean/var must survive the torch->flax
+    import (inference uses them; init stats would silently be wrong) and the
+    flax->torch export."""
+    if not _import_reference():
+        pytest.skip("reference package not importable")
+    from pytorch3dunet.unet3d.model import get_model as torch_get_model
+
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.utils.torch_interop import (
+        batch_stats_to_torch_entries,
+        torch_state_dict_to_batch_stats,
+    )
+
+    cfg = {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+           "num_groups": 4, "num_levels": 2, "layer_order": "bcr", "final_sigmoid": True}
+    torch.manual_seed(0)
+    tmodel = torch_get_model(dict(cfg))
+    # drive the running stats away from the init values
+    tmodel.train()
+    with torch.no_grad():
+        for seed in range(3):
+            tmodel(torch.from_numpy(
+                np.random.RandomState(seed).rand(1, 1, 8, 16, 16).astype(np.float32) * 3 + 1))
+    tmodel.eval()
+
+    state = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = torch_state_dict_to_params(state)
+    batch_stats = torch_state_dict_to_batch_stats(state)
+    assert batch_stats, "no running stats imported"
+
+    model = get_model(dict(cfg))
+    x = np.random.RandomState(7).rand(1, 8, 16, 16, 1).astype(np.float32)
+    with torch.no_grad():
+        _, want_logits = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1)), return_logits=True)
+    _, logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(logits), -1, 1), _np(want_logits), atol=2e-4)
+
+    # export round-trip: every torch running-stat key is reproduced exactly
+    exported = batch_stats_to_torch_entries(batch_stats)
+    for key, value in state.items():
+        if key.endswith(("running_mean", "running_var")):
+            np.testing.assert_array_equal(exported[key], value)
