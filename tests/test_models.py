@@ -104,3 +104,19 @@ def test_anisotropic_pooling():
     variables = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32))
     probs, _ = model.apply(variables, x)
     assert probs.shape == (1, 4, 32, 32, 1)
+
+
+def test_residual_unet_anisotropic_kernel():
+    """ResNet blocks must pad each axis by its own (k-1)//2: a [1, 3, 3]
+    kernel previously zero-padded every axis and crashed on the residual add."""
+    import jax
+
+    from pytorch3dunet_tpu.models import get_model
+
+    model = get_model({"name": "ResidualUNet3D", "in_channels": 1, "out_channels": 2,
+                       "f_maps": 8, "num_groups": 4, "num_levels": 2,
+                       "conv_kernel_size": [1, 3, 3], "conv_padding": [0, 1, 1],
+                       "final_sigmoid": False})
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(4, 16, 16))
+    probs, logits = model.apply(variables, model.example_input((4, 16, 16)))
+    assert logits.shape == (1, 4, 16, 16, 2)
