@@ -37,7 +37,9 @@ PATCH = (80, 170, 170)
 # experiment knobs (the shipping benchmark uses the defaults)
 BATCH = int(os.environ.get("P3DUNET_BENCH_BATCH", "1"))
 REMAT = os.environ.get("P3DUNET_BENCH_REMAT", "0") == "1"
-N_STEPS = int(os.environ.get("P3DUNET_BENCH_STEPS", "20"))
+# 100 steps per dispatch: at 20 the tunnel's fixed per-dispatch latency still
+# dilutes the number by ~1.5% (measured 23.94 at N=20 vs 24.29 at N=100)
+N_STEPS = int(os.environ.get("P3DUNET_BENCH_STEPS", "100"))
 
 
 def build_train_step():
