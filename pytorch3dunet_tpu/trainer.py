@@ -101,7 +101,7 @@ class UNetTrainer:
                  validate_iters=None, num_iterations=1, num_epoch=0, eval_score_higher_is_better=True,
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
                  max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False,
-                 device_augmenter=None, spatial_sharding=False, async_steps=8):
+                 device_augmenter=None, spatial_sharding=False, async_steps=8, grad_accum_steps=1):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -120,6 +120,14 @@ class UNetTrainer:
         # with halo-exchanged convs (parallel/spatial.py) — multi-chip speedup
         # even at batch 1, which data parallelism cannot give
         self.spatial_sharding = spatial_sharding
+        # gradient accumulation: k microbatches per optimizer update. On v5e
+        # batch 2 is slower per-voxel than batch 1 (HBM locality, BENCH_NOTES
+        # r3) — accumulation gives the effective batch without that wall.
+        self.grad_accum_steps = max(1, int(grad_accum_steps))
+        if self.grad_accum_steps > 1 and spatial_sharding:
+            raise ValueError("grad_accum_steps > 1 is not supported with spatial_sharding "
+                             "(the spatially-sharded step owns its gradient computation)")
+        self._accum_fns = None
 
         logger.info(f"eval_score_higher_is_better: {eval_score_higher_is_better}")
         self.best_eval_score = float("-inf") if eval_score_higher_is_better else float("+inf")
@@ -265,6 +273,55 @@ class UNetTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _build_accum_fns(self):
+        """Gradient-accumulation twins of the train step.
+
+        `grads_step` runs forward+backward on one microbatch and adds its
+        gradients into a device-resident accumulator (no optimizer update);
+        `apply_step` averages the accumulator over k microbatches and applies
+        one optimizer update. Matches torch-style sequential accumulation:
+        mutable model state (e.g. BatchNorm stats) advances per microbatch,
+        losses are per-microbatch.
+        """
+        model = self.model
+        loss_criterion = self.loss_criterion
+        tx = self.tx
+        k = self.grad_accum_steps
+        mutable_keys = [key for key in (self.variables or {}) if key != "params"]
+
+        def grads_step(variables, rng, inp, target, acc):
+            aux_state = {key: v for key, v in variables.items() if key != "params"}
+
+            def loss_fn(params):
+                all_vars = {"params": params, **aux_state}
+                if mutable_keys:
+                    (probs, logits), new_state = model.module.apply(
+                        all_vars, inp, train=True, rngs={"dropout": rng}, mutable=mutable_keys
+                    )
+                else:
+                    probs, logits = model.module.apply(all_vars, inp, train=True, rngs={"dropout": rng})
+                    new_state = {}
+                loss = loss_criterion(logits, target)
+                return loss, (probs, new_state)
+
+            (loss, (probs, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+            new_acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            new_variables = {"params": variables["params"], **aux_state, **new_state}
+            return new_variables, new_acc, loss, probs
+
+        def apply_step(variables, opt_state, acc):
+            grads = jax.tree_util.tree_map(lambda g: g / k, acc)
+            updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
+            new_params = optax.apply_updates(variables["params"], updates)
+            return {**variables, "params": new_params}, new_opt_state
+
+        zeros = jax.jit(lambda params: jax.tree_util.tree_map(jnp.zeros_like, params))
+        return (
+            jax.jit(grads_step, donate_argnums=(4,)),
+            jax.jit(apply_step, donate_argnums=(0, 1, 2)),
+            zeros,
+        )
+
     def _build_eval_step(self):
         model = self.model
         loss_criterion = self.loss_criterion
@@ -402,32 +459,36 @@ class UNetTrainer:
             self._window_voxels = 0.0
             self._window_t0 = _time.perf_counter()
 
-        for t in self.loaders["train"]:
+        for group in self._train_groups():
             logger.info(
                 f"Training iteration [{self.num_iterations}/{self.max_num_iterations}]. "
                 f"Epoch [{self.num_epochs}/{self.max_num_epochs - 1}]"
             )
             if self._window_t0 is None:
                 self._window_t0 = _time.perf_counter()
-            raw, target_host = t
-            inp, target = self._prepare_batch(raw, target_host, augment=True)
-            self._ensure_initialized(inp)
-            if self._train_step_fn is None:
-                self._train_step_fn = self._build_train_step()
+            # logging/metrics read the LAST microbatch of the group (for the
+            # default grad_accum_steps=1 the group is the whole batch)
+            raw, target_host = group[-1]
 
-            # keep the scheduler-adjusted lr inside the donated optimizer state
-            self.opt_state = set_lr(self.opt_state, self.lr_handle.lr)
-
-            step_rng, self._rng = jax.random.split(self._rng)
-            self.variables, self.opt_state, loss, probs = self._train_step_fn(
-                self.variables, self.opt_state, step_rng, inp, target
-            )
+            if len(group) == 1:
+                inp, target = self._prepare_batch(raw, target_host, augment=True)
+                self._ensure_initialized(inp)
+                if self._train_step_fn is None:
+                    self._train_step_fn = self._build_train_step()
+                # keep the scheduler-adjusted lr inside the donated optimizer state
+                self.opt_state = set_lr(self.opt_state, self.lr_handle.lr)
+                step_rng, self._rng = jax.random.split(self._rng)
+                self.variables, self.opt_state, loss, probs = self._train_step_fn(
+                    self.variables, self.opt_state, step_rng, inp, target
+                )
+                # losses stay device futures; they flush in bulk so up to
+                # async_steps iterations overlap (transfer + compute pipelined)
+                self._pending_losses.append((loss, self._batch_size(raw)))
+                self._window_voxels += int(np.prod(raw.shape)) // raw.shape[1]  # N*D*H*W
+            else:
+                inp, target, probs, step_rng = self._accumulation_round(group)
 
             batch_size = self._batch_size(raw)
-            # losses stay device futures; they flush in bulk so up to
-            # async_steps iterations overlap (transfer + compute pipelined)
-            self._pending_losses.append((loss, batch_size))
-            self._window_voxels += int(np.prod(raw.shape)) // raw.shape[1]  # N*D*H*W
             if (
                 len(self._pending_losses) >= self.async_steps
                 or self.num_iterations % self.validate_after_iters == 0
@@ -484,6 +545,52 @@ class UNetTrainer:
         flush_pending()
         self._window_t0 = None
         return False
+
+    def _train_groups(self):
+        """Yields tuples of `grad_accum_steps` loader batches per iteration.
+
+        A trailing group smaller than k is dropped (an optimizer update over
+        fewer microbatches would change the effective batch mid-training; the
+        global-min epoch capping keeps the drop host-consistent multi-host).
+        """
+        it = iter(self.loaders["train"])
+        k = self.grad_accum_steps
+        if k == 1:
+            for t in it:
+                yield (t,)
+            return
+        import itertools
+
+        while True:
+            group = tuple(itertools.islice(it, k))
+            if len(group) < k:
+                if group:
+                    logger.info(f"Dropping trailing {len(group)} microbatch(es) short of "
+                                f"grad_accum_steps={k} at epoch end")
+                return
+            yield group
+
+    def _accumulation_round(self, group):
+        """One optimizer update from k accumulated microbatch gradients."""
+        acc = None
+        inp = target = probs = step_rng = None
+        for raw, target_host in group:
+            inp, target = self._prepare_batch(raw, target_host, augment=True)
+            self._ensure_initialized(inp)
+            if self._accum_fns is None:
+                self._accum_fns = self._build_accum_fns()
+            grads_step, _, zeros = self._accum_fns
+            if acc is None:
+                acc = zeros(self.variables["params"])
+            step_rng, self._rng = jax.random.split(self._rng)
+            self.variables, acc, loss, probs = grads_step(self.variables, step_rng, inp, target, acc)
+            self._pending_losses.append((loss, self._batch_size(raw)))
+            self._window_voxels += int(np.prod(raw.shape)) // raw.shape[1]
+        _, apply_step, _ = self._accum_fns
+        # scheduler-adjusted lr goes into the donated optimizer state
+        self.opt_state = set_lr(self.opt_state, self.lr_handle.lr)
+        self.variables, self.opt_state = apply_step(self.variables, self.opt_state, acc)
+        return inp, target, probs, step_rng
 
     def should_stop(self) -> bool:
         """Stop when max iterations are exceeded or the lr decayed below 1e-6."""
