@@ -40,6 +40,9 @@ REMAT = os.environ.get("P3DUNET_BENCH_REMAT", "0") == "1"
 # 100 steps per dispatch: at 20 the tunnel's fixed per-dispatch latency still
 # dilutes the number by ~1.5% (measured 23.94 at N=20 vs 24.29 at N=100)
 N_STEPS = int(os.environ.get("P3DUNET_BENCH_STEPS", "100"))
+# gradient accumulation: k batch-sized microbatches per optimizer update
+# (trainer.grad_accum_steps); voxels/step scales by k
+ACCUM = int(os.environ.get("P3DUNET_BENCH_ACCUM", "1"))
 
 
 def build_train_step():
@@ -67,11 +70,10 @@ def build_train_step():
     variables = jax.jit(lambda rng, x: model.module.init(rng, x, train=False))(jax.random.PRNGKey(0), example)
     opt_state = tx.init(variables["params"])
 
-    def train_step(carry, _):
-        params, opt_state, rng = carry
+    def microbatch_grads(params, rng):
         # generate the batch on device: the benchmark measures compute, not
         # the host link (which is tunneled in this environment)
-        rng, kx, ky, kd = jax.random.split(rng, 4)
+        kx, ky, kd = jax.random.split(rng, 3)
         x = jax.random.uniform(kx, (BATCH, *PATCH, 1), dtype=jnp.float32)
         y = (jax.random.uniform(ky, (BATCH, *PATCH, 1)) > 0.5).astype(jnp.float32)
 
@@ -84,7 +86,23 @@ def build_train_step():
             )
             return loss_criterion(logits, y)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    def train_step(carry, _):
+        params, opt_state, rng = carry
+        rng, k0 = jax.random.split(rng)
+        if ACCUM == 1:
+            loss, grads = microbatch_grads(params, k0)
+        else:
+            # trainer._accumulation_round's math: average k microbatch grads,
+            # one optimizer update (each microbatch at the batch-1 sweet spot)
+            losses, accs = [], None
+            for k in jax.random.split(k0, ACCUM):
+                loss_k, g = microbatch_grads(params, k)
+                losses.append(loss_k)
+                accs = g if accs is None else jax.tree_util.tree_map(jnp.add, accs, g)
+            grads = jax.tree_util.tree_map(lambda g: g / ACCUM, accs)
+            loss = sum(losses) / ACCUM
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return (new_params, new_opt_state, rng), loss
@@ -116,7 +134,7 @@ def main():
     dt = (time.perf_counter() - t0) / n_steps
 
     assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
-    voxels_per_sec = BATCH * int(np.prod(PATCH)) / dt
+    voxels_per_sec = ACCUM * BATCH * int(np.prod(PATCH)) / dt
 
     print(json.dumps({
         "metric": "UNet3D train voxels/sec/chip (80x170x170, f_maps=32, bf16)",

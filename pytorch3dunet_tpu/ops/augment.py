@@ -523,6 +523,17 @@ class DeviceAugmenter:
         square = raw_batch.shape[2] == raw_batch.shape[3]
         label_is_int = jnp.issubdtype(label_batch.dtype, jnp.integer)
         if self._fn is None:
+            has_rot90 = any(e["raw"]["name"] == "RandomRotate90" for e in self.spec["paired"]) or any(
+                c["name"] == "RandomRotate90" for c in self.spec["raw_only"]
+            )
+            if not square and has_rot90:
+                from pytorch3dunet_tpu.utils import get_logger
+
+                get_logger("DeviceAugment").warning(
+                    f"RandomRotate90 needs square H/W patches on device (got {raw_batch.shape[2]}x"
+                    f"{raw_batch.shape[3]}); the transform is SKIPPED — use square patches or "
+                    "device_augment: false to keep it"
+                )
             self._fn = self._build(square, label_is_int)
         keys = jax.random.split(key, raw_batch.shape[0])
         return self._fn(keys, raw_batch, label_batch)
