@@ -156,6 +156,17 @@ class UNetTrainer:
         # model/opt state are initialized lazily from the first batch shape
         self.variables = None
         self.opt_state = None
+        # resume: auto — pick up last_checkpoint.pytorch when it exists, start
+        # fresh otherwise. Preemptible-TPU friendly: the SAME config restarts
+        # a killed run without editing the resume path in and out.
+        if resume == "auto":
+            auto_path = os.path.join(checkpoint_dir, "last_checkpoint.pytorch")
+            if os.path.exists(auto_path):
+                logger.info(f"resume: auto -> found {auto_path}")
+                resume = auto_path
+            else:
+                logger.info(f"resume: auto -> no checkpoint at {auto_path}, starting fresh")
+                resume = None
         self._pending_resume = resume
         self._pending_pre_trained = pre_trained
         self._rng = jax.random.PRNGKey(seed if seed is not None else 0)

@@ -153,6 +153,27 @@ def test_loss_decreases(train_config, tmpdir):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), f"loss did not decrease: {losses}"
 
 
+def test_resume_auto(train_config, tmpdir):
+    """resume: auto starts fresh without a checkpoint, then resumes counters
+    from last_checkpoint.pytorch on an identical re-launch (preemption-safe)."""
+    binary = _set_loss(train_config, "CrossEntropyLoss")
+    config = _add_paths(train_config, str(tmpdir), binary)
+    config["trainer"]["resume"] = "auto"
+
+    trainer = create_trainer(config)
+    trainer.fit()  # no checkpoint yet: starts fresh
+    iters_after_first = trainer.num_iterations
+    assert os.path.exists(os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch"))
+
+    # identical config re-launch picks the checkpoint up
+    resume_config = dict(config)
+    resume_config["trainer"] = dict(config["trainer"])
+    trainer2 = create_trainer(resume_config)
+    assert trainer2._pending_resume is not None
+    trainer2.fit()
+    assert trainer2.num_iterations >= iters_after_first
+
+
 def test_device_metric_validation_path(train_config, tmpdir):
     """max_val_images=0 forces every val batch onto the device metric twin:
     scores must stay finite and equal the host path's average."""
