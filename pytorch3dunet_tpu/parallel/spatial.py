@@ -231,6 +231,69 @@ def build_spatial_train_step(model, loss_criterion, tx, mesh: Mesh, mutable_keys
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
+def build_spatial_accum_fns(model, loss_criterion, tx, mesh: Mesh, k: int, mutable_keys=()):
+    """Gradient-accumulation twins of `build_spatial_train_step`.
+
+    Returns (grads_step, apply_step, zeros) with the trainer's accumulation
+    contract (trainer._build_accum_fns): `grads_step(variables, rng, inp,
+    target, acc)` adds this microbatch's pmean'd gradients into the replicated
+    accumulator; `apply_step` averages over k and applies one update. Composes
+    the two multi-chip strategies: D-sharded compute per microbatch, one
+    optimizer step per k microbatches.
+    """
+    axis = mesh.axis_names[0]
+    mutable_keys = list(mutable_keys)
+
+    def shard_fn(variables, rng, inp, target, acc):
+        aux_state = {key: v for key, v in variables.items() if key != "params"}
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            all_vars = {"params": params, **aux_state}
+            with spatial_axis(axis):
+                if mutable_keys:
+                    (probs, logits), new_state = model.module.apply(
+                        all_vars, inp, train=True, rngs={"dropout": rng}, mutable=mutable_keys
+                    )
+                else:
+                    probs, logits = model.module.apply(all_vars, inp, train=True, rngs={"dropout": rng})
+                    new_state = {}
+            logits_full = jax.lax.all_gather(logits, axis, axis=1, tiled=True)
+            target_full = jax.lax.all_gather(target, axis, axis=1, tiled=True)
+            loss = loss_criterion(logits_full, target_full)
+            return loss, (probs, new_state)
+
+        (loss, (probs, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        grads = jax.lax.pmean(grads, axis)  # gathered-loss convention, see build_spatial_train_step
+        new_state = jax.lax.pmean(new_state, axis) if new_state else new_state
+        new_acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+        new_variables = {"params": variables["params"], **aux_state, **new_state}
+        return new_variables, new_acc, loss, probs
+
+    rep = P()
+    sharded = P(None, axis)
+    grads_fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, sharded, sharded, rep),
+        out_specs=(rep, rep, rep, sharded),
+        check_vma=False,
+    )
+
+    def apply_step(variables, opt_state, acc):
+        grads = jax.tree_util.tree_map(lambda g: g / k, acc)
+        updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        return {**variables, "params": new_params}, new_opt_state
+
+    zeros = jax.jit(lambda params: jax.tree_util.tree_map(jnp.zeros_like, params))
+    return (
+        jax.jit(grads_fn, donate_argnums=(4,)),
+        jax.jit(apply_step, donate_argnums=(0, 1, 2)),
+        zeros,
+    )
+
+
 def dp_sp_mesh(n_data: int, n_space: int) -> Mesh:
     """2-D mesh composing data and spatial parallelism: ('data', 'space')."""
     devices = np.asarray(jax.devices()[: n_data * n_space]).reshape(n_data, n_space)

@@ -124,9 +124,6 @@ class UNetTrainer:
         # batch 2 is slower per-voxel than batch 1 (HBM locality, BENCH_NOTES
         # r3) — accumulation gives the effective batch without that wall.
         self.grad_accum_steps = max(1, int(grad_accum_steps))
-        if self.grad_accum_steps > 1 and spatial_sharding:
-            raise ValueError("grad_accum_steps > 1 is not supported with spatial_sharding "
-                             "(the spatially-sharded step owns its gradient computation)")
         self._accum_fns = None
 
         logger.info(f"eval_score_higher_is_better: {eval_score_higher_is_better}")
@@ -299,6 +296,11 @@ class UNetTrainer:
         tx = self.tx
         k = self.grad_accum_steps
         mutable_keys = [key for key in (self.variables or {}) if key != "params"]
+
+        if self.spatial_sharding:
+            from pytorch3dunet_tpu.parallel.spatial import build_spatial_accum_fns
+
+            return build_spatial_accum_fns(model, loss_criterion, tx, self.mesh, k, mutable_keys)
 
         def grads_step(variables, rng, inp, target, acc):
             aux_state = {key: v for key, v in variables.items() if key != "params"}

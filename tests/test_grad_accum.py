@@ -40,6 +40,11 @@ def _configure(config, tmpdir, paths, batch_size, accum, tag):
     config["trainer"]["max_num_epochs"] = 1
     config["trainer"]["validate_after_iters"] = 100
     config["trainer"]["log_after_iters"] = 100
+    # SGD, not Adam: Adam normalizes by sqrt(v), so a wrong gradient SCALE
+    # (e.g. a missing /k) would barely move the params — SGD keeps the
+    # equivalence check linearly sensitive to it, and avoids Adam's tiny-v
+    # amplification of benign fp reduction-order noise
+    config["optimizer"] = {"name": "SGD", "learning_rate": 0.05, "momentum": 0.9}
     if accum != 1:
         config["trainer"]["grad_accum_steps"] = accum
     return config
@@ -71,10 +76,7 @@ def test_accum_matches_large_batch(train_config, tmpdir):
     params_b = jax.tree_util.tree_leaves(jax.device_get(trainer_b.variables["params"]))
     assert len(params_a) == len(params_b)
     for pa, pb in zip(params_a, params_b):
-        # Adam divides by sqrt(v): where v is tiny, fp reduction-order noise
-        # (joint batch-2 mean + psum vs averaged microbatch means) amplifies —
-        # a logic error (e.g. missing /k) would be O(1) relative, not 5e-4
-        np.testing.assert_allclose(pa, pb, atol=5e-4, rtol=1e-4)
+        np.testing.assert_allclose(pa, pb, atol=1e-5, rtol=1e-4)
 
 
 def test_trailing_partial_group_dropped(train_config, tmpdir):
@@ -90,9 +92,27 @@ def test_trailing_partial_group_dropped(train_config, tmpdir):
     assert trainer.variables is not None
 
 
-def test_accum_rejects_spatial_sharding(train_config, tmpdir):
+def test_accum_composes_with_spatial_sharding(train_config, tmpdir):
+    """grad_accum_steps under spatial (D-axis) sharding equals the plain
+    accumulation run: the D-sharded microbatch step is exactly the unsharded
+    computation (test_spatial), so the composed accumulation must be too."""
     paths = _make_data(tmpdir)
-    cfg = _configure(_copy_cfg(train_config), tmpdir, paths, batch_size=1, accum=2, tag="sp")
-    cfg["trainer"]["spatial_sharding"] = True
-    with pytest.raises(ValueError, match="grad_accum_steps"):
-        create_trainer(cfg)
+
+    np.random.seed(99)
+    cfg_sp = _configure(_copy_cfg(train_config), tmpdir, paths, batch_size=1, accum=2, tag="sp_accum")
+    cfg_sp["trainer"]["spatial_sharding"] = True
+    trainer_sp = create_trainer(cfg_sp)
+    trainer_sp.fit()
+    assert trainer_sp.mesh is not None and trainer_sp.mesh.devices.size > 1
+
+    np.random.seed(99)
+    cfg_pl = _configure(_copy_cfg(train_config), tmpdir, paths, batch_size=1, accum=2, tag="plain_accum")
+    trainer_pl = create_trainer(cfg_pl)
+    trainer_pl.fit()
+    assert trainer_pl.num_iterations == trainer_sp.num_iterations
+
+    params_sp = jax.tree_util.tree_leaves(jax.device_get(trainer_sp.variables["params"]))
+    params_pl = jax.tree_util.tree_leaves(jax.device_get(trainer_pl.variables["params"]))
+    for ps, pp in zip(params_sp, params_pl):
+        # D-sharded conv/GN reductions legitimately reorder fp sums
+        np.testing.assert_allclose(ps, pp, atol=5e-5, rtol=1e-4)
