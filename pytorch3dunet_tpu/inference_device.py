@@ -65,10 +65,14 @@ class DeviceSlidingWindow:
         patch_batch: patches forwarded per loop step. Small patches (2D
             z-slices especially) underfill the MXU at batch 1; batching B of
             them into one forward amortizes the per-step overhead.
+        tta_axes: patch-space (z, y, x) axes for mirror-flip test-time
+            augmentation; every flip combination of these axes is forwarded
+            and the probabilities averaged INSIDE the jitted sweep (so the
+            ensemble adds compute but no dispatches). Empty = off.
     """
 
     def __init__(self, model, patch_shape, halo_shape, normalize=None, stats=None, blend="assign", mesh=None,
-                 weighted=None, patch_batch=1):
+                 weighted=None, patch_batch=1, tta_axes=()):
         from pytorch3dunet_tpu.models import is_model_2d
 
         self.model = model
@@ -87,6 +91,18 @@ class DeviceSlidingWindow:
         self.blend = blend
         assert blend in ("assign", "gaussian")
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        # model-ready-layout flip combos: 3D batches are (N, pz, py, px, C) so
+        # patch axis k maps to array axis k+1; 2D batches are (B, py, px, C)
+        # with patch y/x already at array 1/2 (z is the batch dim, unflippable)
+        if tta_axes:
+            from pytorch3dunet_tpu.ops.tta import flip_combos
+
+            assert all(a in (1, 2) for a in tta_axes) or not self.is_2d, (
+                "2D models cannot mirror the z axis")
+            arr_axes = tuple(tta_axes) if self.is_2d else tuple(a + 1 for a in tta_axes)
+            self.tta_combos = flip_combos(arr_axes)
+        else:
+            self.tta_combos = []
         # weighted accumulation (sum cores + counts, divide at the end) is
         # required for gaussian blending and for partial sweeps that are merged
         # later (volume chunking); pure assignment matches the reference's
@@ -128,6 +144,19 @@ class DeviceSlidingWindow:
         cz, cy, cx = self.patch_shape
         return (cz + 2 * hz, cy + 2 * hy, cx + 2 * hx), padded_volume.shape[-1]
 
+    def _apply_model(self, variables, x):
+        """Model-ready batch -> probabilities; mirror-TTA-averaged when on."""
+
+        def run(xi):
+            probs, _ = self.model.module.apply(variables, xi, train=False)
+            return probs
+
+        if not self.tta_combos:
+            return run(x)
+        from pytorch3dunet_tpu.ops.tta import tta_average
+
+        return tta_average(run, x, self.tta_combos)
+
     def _forward_core(self, variables, padded_volume, start, stats):
         """dynamic_slice -> normalize -> model -> halo crop; (patch, Cout) core."""
         (pz, py, px), cin = self._patch_sizes(padded_volume)
@@ -137,9 +166,9 @@ class DeviceSlidingWindow:
         patch = self._normalize_patch(patch, stats)
         if self.is_2d:
             # (1, py, px, C) with z as batch -> (1, cy, cx, Cout) core
-            probs, _ = self.model.module.apply(variables, patch, train=False)
+            probs = self._apply_model(variables, patch)
             return probs[:, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
-        probs, _ = self.model.module.apply(variables, patch[None], train=False)
+        probs = self._apply_model(variables, patch[None])
         return probs[0, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
 
     def _forward_cores_batched(self, variables, padded_volume, starts_b, stats):
@@ -152,10 +181,10 @@ class DeviceSlidingWindow:
         )(starts_b)
         patches = jax.vmap(lambda p: self._normalize_patch(p, stats))(patches)
         if self.is_2d:
-            probs, _ = self.model.module.apply(variables, patches[:, 0], train=False)
+            probs = self._apply_model(variables, patches[:, 0])
             probs = probs[:, None]  # reattach the singleton z
         else:
-            probs, _ = self.model.module.apply(variables, patches, train=False)
+            probs = self._apply_model(variables, patches)
         return probs[:, hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
 
     def _accumulate(self, variables, padded_volume, starts, weighted, stats, vary_axis=None):

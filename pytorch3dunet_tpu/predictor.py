@@ -45,11 +45,16 @@ class AbstractPredictor:
         prediction_channel: save only this channel of the network output.
         performance_metric: optional 'dice' | 'mean_iou' post-hoc evaluation.
         gt_internal_path: H5 path of the ground truth for the evaluation.
+        tta: mirror-flip test-time augmentation — average the probabilities
+            over every flip combination of the spatial axes (8 forwards for a
+            3D model, 4 for 2D). A TPU-native addition (no reference
+            counterpart); the ensemble runs inside the jitted forward.
+        tta_axes: restrict mirroring to these axes (0=z, 1=y, 2=x).
     """
 
     def __init__(self, model, variables, output_dir, out_channels, device=None,
                  output_dataset="predictions", save_segmentation=False, prediction_channel=None,
-                 performance_metric=None, gt_internal_path=None, **kwargs):
+                 performance_metric=None, gt_internal_path=None, tta=False, tta_axes=None, **kwargs):
         self.model = model
         self.variables = variables
         self.output_dir = output_dir
@@ -61,7 +66,31 @@ class AbstractPredictor:
         self.prediction_channel = prediction_channel
         self.performance_metric = performance_metric
         self.gt_internal_path = gt_internal_path
+        self.tta = tta
+        self.tta_axes = tta_axes
+        if tta:
+            logger.info(f"Test-time mirror augmentation on (axes: {self._tta_patch_axes()})")
         self._forward_fn = None
+
+    def _tta_patch_axes(self) -> tuple[int, ...]:
+        """Patch-space (z, y, x) axes the TTA ensemble mirrors; () when off."""
+        from pytorch3dunet_tpu.ops.tta import resolve_tta_axes
+
+        return resolve_tta_axes(self.tta, self.tta_axes, is_model_2d(self.model))
+
+    def _tta_wrap(self, run, two_d: bool):
+        """Wraps a channels-last batch forward `run` with the mirror ensemble.
+
+        Model-ready layouts: (N, D, H, W, C) for 3D — patch axis k is array
+        axis k+1; (N, H, W, C) for 2D — patch axes 1/2 (y/x) are array 1/2.
+        """
+        axes = self._tta_patch_axes()
+        if not axes:
+            return run
+        from pytorch3dunet_tpu.ops.tta import flip_combos, tta_average
+
+        combos = flip_combos(axes if two_d else tuple(a + 1 for a in axes))
+        return lambda x: tta_average(run, x, combos)
 
     def _to_segmentation(self, probs: np.ndarray, channel_axis: int = 0) -> np.ndarray:
         """Binarize (>0.5, single channel) or argmax over `channel_axis`, uint16
@@ -85,10 +114,13 @@ class AbstractPredictor:
         """Jitted channels-last forward; input/output in NC(D)HW layout."""
         if self._forward_fn is None:
             model = self.model
+            two_d = is_model_2d(model)
 
             def fwd(variables, x):
-                probs, _ = model.module.apply(variables, x, train=False)
-                return probs
+                run = self._tta_wrap(
+                    lambda xi: model.module.apply(variables, xi, train=False)[0], two_d
+                )
+                return run(x)
 
             self._forward_fn = jax.jit(fwd)
 
@@ -277,13 +309,15 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         # the key is purely structural: per-volume stats (global_normalization
         # mean/std) enter the jitted sweep as traced arguments, so every
         # volume reuses ONE compiled program (callers pass stats per call)
-        key = (patch_shape, halo_shape, normalize, self.blend, weighted, patch_batch, mesh is not None)
+        tta_axes = self._tta_patch_axes()
+        key = (patch_shape, halo_shape, normalize, self.blend, weighted, patch_batch, tta_axes, mesh is not None)
         if key not in self._sweeps:
             if mesh is not None:
                 logger.info(f"Sharding the patch grid over {mesh.devices.size} devices")
             self._sweeps[key] = DeviceSlidingWindow(
                 self.model, patch_shape, halo_shape, normalize=normalize, stats=stats,
                 blend=self.blend, mesh=mesh, weighted=weighted, patch_batch=patch_batch,
+                tta_axes=tta_axes,
             )
         return self._sweeps[key]
 
@@ -540,8 +574,10 @@ class DSB2018Predictor(AbstractPredictor):
             model = self.model
 
             def fwd(variables, x):
-                probs, _ = model.module.apply(variables, x, train=False)
-                return probs
+                run = self._tta_wrap(
+                    lambda xi: model.module.apply(variables, xi, train=False)[0], two_d=True
+                )
+                return run(x)
 
             self._forward_fn = jax.jit(fwd)
         img = np.asarray(img, dtype=np.float32)

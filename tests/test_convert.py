@@ -1,0 +1,72 @@
+"""convert3dunet CLI: bidirectional checkpoint conversion round-trips."""
+
+import os
+
+import jax
+import numpy as np
+import yaml
+
+from pytorch3dunet_tpu.convert import convert_checkpoint, main
+from pytorch3dunet_tpu.models import get_model
+from pytorch3dunet_tpu.utils.checkpoint import _is_torch_checkpoint, load_checkpoint, state_to_bytes
+
+
+CONFIG = {"model": {"name": "UNet3D", "in_channels": 1, "out_channels": 2, "layer_order": "gcr",
+                    "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": False}}
+
+
+def _leaves(tree):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+def test_native_to_torch_and_back_roundtrip(tmpdir):
+    model = get_model(dict(CONFIG["model"]))
+    variables = model.init(jax.random.PRNGKey(7))
+    native = os.path.join(str(tmpdir), "native.ckpt")
+    with open(native, "wb") as f:
+        f.write(state_to_bytes({"model_state_dict": variables, "num_epochs": 3,
+                                "num_iterations": 42, "best_eval_score": 0.5}))
+
+    torch_path = os.path.join(str(tmpdir), "exported.pytorch")
+    assert convert_checkpoint(CONFIG, native, torch_path) == "torch"
+    assert _is_torch_checkpoint(torch_path)
+
+    back = os.path.join(str(tmpdir), "back.ckpt")
+    assert convert_checkpoint(CONFIG, torch_path, back) == "native"
+    assert not _is_torch_checkpoint(back)
+
+    restored = load_checkpoint(back, variables_template=variables)["model_state_dict"]
+    for a, b in zip(_leaves(variables), _leaves(restored)):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_cli_main(tmpdir):
+    model = get_model(dict(CONFIG["model"]))
+    variables = model.init(jax.random.PRNGKey(0))
+    native = os.path.join(str(tmpdir), "native.ckpt")
+    with open(native, "wb") as f:
+        f.write(state_to_bytes({"model_state_dict": variables, "num_epochs": 0,
+                                "num_iterations": 1, "best_eval_score": None}))
+    cfg_path = os.path.join(str(tmpdir), "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(CONFIG, f)
+
+    out = os.path.join(str(tmpdir), "out.pytorch")
+    main(["--config", cfg_path, "-i", native, "-o", out, "--to", "torch"])
+    assert os.path.exists(out) and _is_torch_checkpoint(out)
+
+
+def test_wrong_architecture_fails_loudly(tmpdir):
+    model = get_model(dict(CONFIG["model"]))
+    variables = model.init(jax.random.PRNGKey(0))
+    native = os.path.join(str(tmpdir), "native.ckpt")
+    with open(native, "wb") as f:
+        f.write(state_to_bytes({"model_state_dict": variables, "num_epochs": 0,
+                                "num_iterations": 1, "best_eval_score": None}))
+
+    bad = {"model": dict(CONFIG["model"], f_maps=16)}
+    try:
+        convert_checkpoint(bad, native, os.path.join(str(tmpdir), "x.pytorch"))
+        raise AssertionError("expected a shape-mismatch failure")
+    except ValueError as e:
+        assert "shape" in str(e)
