@@ -137,6 +137,35 @@ def test_device_sweep_tta_matches_host(tmpdir):
     assert np.abs(device - plain).max() > 1e-6
 
 
+def test_tta_streamed_matches_unstreamed(tmpdir):
+    # TTA flows through _get_sweep into the z-slab streaming path unchanged
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "tta": True, "shard": False}
+    full = _predict(config, model, variables)
+    config["predictor"]["max_device_voxels"] = 2 * 24 * 64 * 64
+    streamed = _predict(config, model, variables)
+    np.testing.assert_allclose(streamed, full, atol=2e-5)
+
+
+def test_device_sweep_2d_tta_matches_host(tmpdir):
+    # the 2D sweep forwards z-as-batch slabs; TTA must mirror y/x only
+    config = _make_config(tmpdir, shape=(4, 48, 48))
+    config["model"] = dict(MODEL_2D, out_channels=2, final_sigmoid=False)
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [1, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [1, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["halo_shape"] = [0, 8, 8]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    host = _predict(config, model, variables)
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    device = _predict(config, model, variables)
+    np.testing.assert_allclose(device, host, atol=2e-5)
+
+
 def test_predictor_config_passthrough(tmpdir):
     config = _make_config(tmpdir)
     config["predictor"] = {"name": "StandardPredictor", "tta": True, "tta_axes": [1, 2]}

@@ -45,7 +45,7 @@ def main_2d(patch_batch=16):
           f"{vox/dt/1e6:.1f} Mvox/s device-side")
 
 
-def main(patch_batch=1):
+def main(patch_batch=1, tta=False):
     model = get_model({
         "name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 32,
         "layer_order": "gcr", "num_groups": 8, "final_sigmoid": True,
@@ -61,10 +61,11 @@ def main(patch_batch=1):
     starts = np.asarray([(z, y, x) for z in (0, 64) for y in (0, 160) for x in (0, 160)], np.int32)
 
     sweep = DeviceSlidingWindow(model, patch_shape=patch, halo_shape=halo,
-                                normalize="standardize_patch", patch_batch=patch_batch)
+                                normalize="standardize_patch", patch_batch=patch_batch,
+                                tta_axes=(0, 1, 2) if tta else ())
     warm, dt = _timed_sweeps(sweep, variables, padded, starts)
     vox = int(np.prod(vol))
-    print(f"3D B={patch_batch}: warm {warm:.2f}s, steady {dt*1e3:.1f} ms -> "
+    print(f"3D B={patch_batch} tta={tta}: warm {warm:.2f}s, steady {dt*1e3:.1f} ms -> "
           f"{vox/dt/1e6:.1f} Mvox/s device-side")
 
 
@@ -105,6 +106,8 @@ if __name__ == "__main__":
     if "2d" in sys.argv[1:]:
         for b in (1, 16):
             main_2d(patch_batch=b)
+    elif "tta" in sys.argv[1:]:
+        main(patch_batch=1, tta=True)
     else:
         for b in ([1, 2, 4] if "bsweep" in sys.argv[1:] else [1]):
             main(patch_batch=b)
