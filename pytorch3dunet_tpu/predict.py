@@ -62,6 +62,11 @@ def main():
     variables = jax.jit(lambda key: model.init(key))(jax.random.PRNGKey(0))
     state = load_checkpoint(model_path, variables)
     variables = state["model_state_dict"]
+    from pytorch3dunet_tpu.utils.checkpoint import apply_ema_weights
+
+    variables, used_ema = apply_ema_weights(state, variables)
+    if used_ema:
+        logger.info("Checkpoint carries EMA weights (trainer.ema_decay): predicting with them")
 
     logger.info("Creating predictor...")
     predictor = get_predictor(model, variables, config)

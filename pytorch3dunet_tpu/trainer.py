@@ -101,7 +101,8 @@ class UNetTrainer:
                  validate_iters=None, num_iterations=1, num_epoch=0, eval_score_higher_is_better=True,
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
                  max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False,
-                 device_augmenter=None, spatial_sharding=False, async_steps=8, grad_accum_steps=1):
+                 device_augmenter=None, spatial_sharding=False, async_steps=8, grad_accum_steps=1,
+                 ema_decay=None):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -125,6 +126,15 @@ class UNetTrainer:
         # r3) — accumulation gives the effective batch without that wall.
         self.grad_accum_steps = max(1, int(grad_accum_steps))
         self._accum_fns = None
+        # exponential moving average of the weights (no reference counterpart):
+        # validation, best-checkpoint selection, and prediction use the EMA
+        # params; the raw params keep training. One params-sized tree_map per
+        # step (~20 MB traffic for f_maps=32 — noise next to the step itself).
+        if ema_decay is not None and not (0.0 < float(ema_decay) < 1.0):
+            raise ValueError(f"trainer.ema_decay must be in (0, 1); got {ema_decay}")
+        self.ema_decay = None if ema_decay is None else float(ema_decay)
+        self.ema_params = None
+        self._ema_update_fn = None
 
         logger.info(f"eval_score_higher_is_better: {eval_score_higher_is_better}")
         self.best_eval_score = float("-inf") if eval_score_higher_is_better else float("+inf")
@@ -216,10 +226,12 @@ class UNetTrainer:
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.variables["params"]))
         logger.info(f"Number of learnable params {n_params}")
 
+        resumed_ema_leaves = None
         if self._pending_resume is not None:
             logger.info(f"Loading checkpoint '{self._pending_resume}'...")
             state = load_checkpoint(self._pending_resume, self.variables, self.opt_state)
             self.variables = state["model_state_dict"]
+            resumed_ema_leaves = state.get("ema_state_dict")
             if state.get("optimizer_state_dict") is not None:
                 self.opt_state = state["optimizer_state_dict"]
                 self.lr_handle.lr = get_lr(self.opt_state)
@@ -246,6 +258,20 @@ class UNetTrainer:
         # replicate state across the data mesh
         self.variables = replicate(self.mesh, self.variables)
         self.opt_state = replicate(self.mesh, self.opt_state)
+
+        if self.ema_decay is not None:
+            if resumed_ema_leaves:
+                from pytorch3dunet_tpu.utils.checkpoint import restore_tree
+
+                logger.info("Restoring EMA weights from the checkpoint")
+                ema = restore_tree(jax.device_get(self.variables["params"]), resumed_ema_leaves)
+                self.ema_params = replicate(self.mesh, ema)
+            else:
+                # fresh copy (the train step DONATES the params buffers, so the
+                # EMA tree must own its storage from the start)
+                self.ema_params = jax.jit(
+                    lambda p: jax.tree_util.tree_map(jnp.copy, p)
+                )(self.variables["params"])
 
     def _build_train_step(self):
         model = self.model
@@ -334,6 +360,23 @@ class UNetTrainer:
             jax.jit(apply_step, donate_argnums=(0, 1, 2)),
             zeros,
         )
+
+    def _ema_step(self):
+        """Folds the post-update params into the EMA tree (one jitted tree_map)."""
+        if self._ema_update_fn is None:
+            d = self.ema_decay
+
+            def update(ema, params):
+                return jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype), ema, params)
+
+            self._ema_update_fn = jax.jit(update, donate_argnums=(0,))
+        self.ema_params = self._ema_update_fn(self.ema_params, self.variables["params"])
+
+    def _eval_variables(self):
+        """Variables the eval/validation step runs with: EMA weights when on."""
+        if self.ema_params is None:
+            return self.variables
+        return {**self.variables, "params": self.ema_params}
 
     def _build_eval_step(self):
         model = self.model
@@ -501,6 +544,9 @@ class UNetTrainer:
             else:
                 inp, target, probs, step_rng = self._accumulation_round(group)
 
+            if self.ema_decay is not None:
+                self._ema_step()
+
             batch_size = self._batch_size(raw)
             if (
                 len(self._pending_losses) >= self.async_steps
@@ -652,7 +698,7 @@ class UNetTrainer:
             if self._eval_step_fn is None:
                 self._eval_step_fn = self._build_eval_step()
 
-            probs, loss = self._eval_step_fn(self.variables, inp, target)
+            probs, loss = self._eval_step_fn(self._eval_variables(), inp, target)
             batch_size = self._batch_size(raw)
 
             if self._device_metric_fn is not None and i not in indices:
@@ -701,6 +747,10 @@ class UNetTrainer:
                 "model_state_dict": jax.device_get(self.variables),
                 "best_eval_score": float(self.best_eval_score),
                 "optimizer_state_dict": jax.device_get(self.opt_state),
+                # EMA weights ride along; predict3dunet prefers them when
+                # present (validation/best-selection used them too)
+                **({"ema_state_dict": jax.device_get(self.ema_params)}
+                   if self.ema_params is not None else {}),
             },
             is_best,
             checkpoint_dir=self.checkpoint_dir,

@@ -171,3 +171,16 @@ def load_checkpoint(checkpoint_path: str, variables_template=None, opt_state_tem
     if opt_state_template is not None and "optimizer_state_dict" in state:
         state["optimizer_state_dict"] = restore_tree(opt_state_template, state["optimizer_state_dict"])
     return state
+
+
+def apply_ema_weights(state: dict, variables: dict) -> tuple[dict, bool]:
+    """Swaps the checkpoint's EMA weights into `variables` when present.
+
+    Checkpoints written with `trainer.ema_decay` carry an `ema_state_dict`
+    alongside the raw weights; validation and best-checkpoint selection used
+    the EMA weights, so inference should too. Returns (variables, used_ema).
+    """
+    ema_leaves = state.get("ema_state_dict")
+    if not ema_leaves:
+        return variables, False
+    return {**variables, "params": restore_tree(variables["params"], ema_leaves)}, True
