@@ -298,7 +298,9 @@ def get_train_loaders(config: dict) -> dict:
         # expand directory entries FIRST: sharding the raw config list would
         # hand a whole directory (all its volumes) to several hosts at once,
         # silently breaking per-host disjointness
-        mine = shard_file_paths(traverse_h5_paths(loaders_config["train"]["file_paths"]))
+        # sorted: Path.glob order is filesystem-dependent — hosts must agree
+        # on the expanded list or the round-robin shards overlap
+        mine = shard_file_paths(sorted(traverse_h5_paths(loaders_config["train"]["file_paths"])))
         logger.info(f"Multi-host: process {jax.process_index()} trains on {mine}")
         loaders_config["train"]["file_paths"] = mine
 
@@ -359,6 +361,29 @@ def get_test_loaders(config: dict):
         dataset_cls_str = "StandardHDF5Dataset"
         logger.warning(f"Cannot find dataset class in the config. Using default '{dataset_cls_str}'.")
     dataset_class = _loader_classes(dataset_cls_str)
+
+    # multi-host: prediction is embarrassingly parallel over files — each
+    # process predicts a disjoint subset with its LOCAL device mesh and
+    # writes its own outputs (no cross-host collectives, no write collisions)
+    import jax
+
+    if jax.process_count() > 1:
+        from pytorch3dunet_tpu.parallel.distributed import shard_file_paths
+
+        loaders_config = dict(loaders_config)
+        test_cfg = dict(loaders_config["test"])
+        if "HDF5" in dataset_cls_str:
+            from pytorch3dunet_tpu.datasets.hdf5 import traverse_h5_paths
+
+            paths = sorted(traverse_h5_paths(test_cfg["file_paths"]))
+        else:
+            paths = sorted(test_cfg["file_paths"])
+        mine = shard_file_paths(paths, allow_empty=True)
+        logger.info(f"Multi-host: process {jax.process_index()} predicts {len(mine)}/{len(paths)} files: {mine}")
+        test_cfg["file_paths"] = mine
+        loaders_config["test"] = test_cfg
+        if not mine:
+            return
 
     test_datasets = dataset_class.create_datasets(loaders_config, phase="test")
 

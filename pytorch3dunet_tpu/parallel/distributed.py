@@ -42,9 +42,16 @@ def initialize_from_env() -> bool:
     return True
 
 
-def shard_file_paths(file_paths: list, process_id: int | None = None, num_processes: int | None = None) -> list:
+def shard_file_paths(file_paths: list, process_id: int | None = None, num_processes: int | None = None,
+                     allow_empty: bool = False) -> list:
     """Round-robin split of input files across hosts — each host feeds its own
-    local devices from disjoint volumes (per-host sharded HDF5 readers)."""
+    local devices from disjoint volumes (per-host sharded HDF5 readers).
+
+    Callers must pass a deterministically ordered list (sort after directory
+    expansion) so every host computes the same assignment. `allow_empty`:
+    prediction shards may be empty (a host with no files writes nothing);
+    training shards wrap instead so every host can sample.
+    """
     import jax
 
     if process_id is None:
@@ -54,6 +61,8 @@ def shard_file_paths(file_paths: list, process_id: int | None = None, num_proces
     if num_processes <= 1:
         return list(file_paths)
     mine = [p for i, p in enumerate(file_paths) if i % num_processes == process_id]
+    if not mine and allow_empty:
+        return []
     if not mine:
         # fewer files than hosts: wrap the assignment so a data-less host
         # shares ONE volume instead of duplicating the whole corpus (which

@@ -43,9 +43,11 @@ def get_predictor(model, variables, config: dict):
 
 def main():
     """Loads the model + checkpoint and runs prediction over every test loader."""
+    from pytorch3dunet_tpu.parallel.distributed import initialize_from_env
     from pytorch3dunet_tpu.utils.misc import setup_compilation_cache
 
     setup_compilation_cache()
+    initialize_from_env()  # multi-host: no-op unless P3DUNET_COORDINATOR is set
     config, _ = load_config()
 
     model = get_model(config["model"])
@@ -79,8 +81,11 @@ def main():
 
     if metrics:
         metrics = np.asarray(metrics, dtype=np.float64)
-        logger.info(f"Per-class average metric: {metrics.mean(axis=0)}")
-        logger.info(f"Average metric: {metrics.mean()}")
+        # multi-host: each process predicted a disjoint file shard, so these
+        # are per-host averages over that shard
+        prefix = f"[process {jax.process_index()}] " if jax.process_count() > 1 else ""
+        logger.info(f"{prefix}Per-class average metric: {metrics.mean(axis=0)}")
+        logger.info(f"{prefix}Average metric: {metrics.mean()}")
 
 
 if __name__ == "__main__":

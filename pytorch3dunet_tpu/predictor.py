@@ -288,13 +288,17 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         self._sweeps = {}
 
     def _mesh_active(self) -> bool:
-        return self.shard and len(jax.devices()) > 1
+        # local devices: under multi-host each process predicts its own file
+        # shard (get_test_loaders), so the patch grid shards over the LOCAL
+        # mesh only — a global mesh would make disjoint per-host volumes into
+        # one collective program (deadlock/garbage)
+        return self.shard and len(jax.local_devices()) > 1
 
     def _get_sweep(self, patch_shape, halo_shape, normalize, stats, weighted):
         from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
         from pytorch3dunet_tpu.parallel import data_mesh
 
-        mesh = data_mesh() if self._mesh_active() else None
+        mesh = data_mesh(jax.local_devices()) if self._mesh_active() else None
         patch_batch = self.patch_batch
         if patch_batch is None:
             patch_batch = 16 if is_model_2d(self.model) else 1
