@@ -133,6 +133,9 @@ class UNetTrainer:
         if ema_decay is not None and not (0.0 < float(ema_decay) < 1.0):
             raise ValueError(f"trainer.ema_decay must be in (0, 1); got {ema_decay}")
         self.ema_decay = None if ema_decay is None else float(ema_decay)
+        if self.ema_decay is not None:
+            logger.info(f"EMA of the weights enabled (decay={self.ema_decay}): "
+                        "validation/checkpoints/prediction use the averaged weights")
         self.ema_params = None
         self._ema_update_fn = None
 
