@@ -43,6 +43,11 @@ N_STEPS = int(os.environ.get("P3DUNET_BENCH_STEPS", "100"))
 # gradient accumulation: k batch-sized microbatches per optimizer update
 # (trainer.grad_accum_steps); voxels/step scales by k
 ACCUM = int(os.environ.get("P3DUNET_BENCH_ACCUM", "1"))
+# model width: the headline workload is f_maps=32 (the reference's canonical
+# config). Wider models fill more MXU output lanes per GEMM (Cout=32 uses
+# 32/128); the f_maps sweep quantifies how much of the per-voxel cost is the
+# workload's shape rather than the framework (BENCH_NOTES r3).
+FMAPS = int(os.environ.get("P3DUNET_BENCH_FMAPS", "32"))
 
 
 def build_train_step():
@@ -54,7 +59,7 @@ def build_train_step():
         "name": "UNet3D",
         "in_channels": 1,
         "out_channels": 1,
-        "f_maps": 32,
+        "f_maps": FMAPS,
         "layer_order": "gcr",
         "num_groups": 8,
         "final_sigmoid": True,
@@ -137,7 +142,7 @@ def main():
     voxels_per_sec = ACCUM * BATCH * int(np.prod(PATCH)) / dt
 
     print(json.dumps({
-        "metric": "UNet3D train voxels/sec/chip (80x170x170, f_maps=32, bf16)",
+        "metric": f"UNet3D train voxels/sec/chip (80x170x170, f_maps={FMAPS}, bf16)",
         "value": round(voxels_per_sec, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(voxels_per_sec / A100_REFERENCE_VOXELS_PER_SEC, 3),
