@@ -117,6 +117,30 @@ def test_checkpoint_carries_ema_and_resume_restores(train_config, tmpdir):
         np.testing.assert_allclose(a, b, atol=0)
 
 
+def test_ema_composes_with_spatial_sharding(train_config, tmpdir):
+    """The EMA tree_map runs on the spatially-sharded trainer's replicated
+    params: the sharded EMA trajectory equals the unsharded one."""
+    paths = _make_data(tmpdir)
+
+    np.random.seed(21)
+    cfg_sp = _configure(train_config, tmpdir, paths, "sp_ema", iters=2)
+    cfg_sp["trainer"]["spatial_sharding"] = True
+    trainer_sp = create_trainer(cfg_sp)
+    trainer_sp.fit()
+    assert trainer_sp.mesh is not None and trainer_sp.mesh.devices.size > 1
+
+    np.random.seed(21)
+    cfg_pl = _configure(train_config, tmpdir, paths, "pl_ema", iters=2)
+    trainer_pl = create_trainer(cfg_pl)
+    trainer_pl.fit()
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(trainer_sp.ema_params)),
+                    jax.tree_util.tree_leaves(jax.device_get(trainer_pl.ema_params))):
+        # D-sharded conv/GN reductions legitimately reorder fp sums
+        # (measured max |diff| ~1e-4 over 2 SGD steps at lr=0.05)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_apply_ema_weights(train_config, tmpdir):
     paths = _make_data(tmpdir)
     np.random.seed(13)
