@@ -137,6 +137,19 @@ def test_device_sweep_tta_matches_host(tmpdir):
     assert np.abs(device - plain).max() > 1e-6
 
 
+def test_tta_sharded_matches_unsharded(tmpdir):
+    # the mirror ensemble runs inside each shard's patch subset identically
+    config = _make_config(tmpdir)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "tta": True, "shard": False}
+    single = _predict(config, model, variables)
+    config["predictor"]["shard"] = True
+    sharded = _predict(config, model, variables)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
 def test_tta_streamed_matches_unstreamed(tmpdir):
     # TTA flows through _get_sweep into the z-slab streaming path unchanged
     config = _make_config(tmpdir)
