@@ -48,6 +48,9 @@ ACCUM = int(os.environ.get("P3DUNET_BENCH_ACCUM", "1"))
 # 32/128); the f_maps sweep quantifies how much of the per-voxel cost is the
 # workload's shape rather than the framework (BENCH_NOTES r3).
 FMAPS = int(os.environ.get("P3DUNET_BENCH_FMAPS", "32"))
+# EMA of the weights (trainer.ema_decay): adds one params-sized tree_map to
+# every step; the knob measures its real cost on-chip
+EMA = os.environ.get("P3DUNET_BENCH_EMA", "0") == "1"
 
 
 def build_train_step():
@@ -112,12 +115,27 @@ def build_train_step():
         new_params = optax.apply_updates(params, updates)
         return (new_params, new_opt_state, rng), loss
 
+    def train_step_ema(carry, _):
+        params, ema, opt_state, rng = carry
+        (params, opt_state, rng), loss = train_step((params, opt_state, rng), None)
+        d = 0.999  # trainer._ema_step's tree_map, fused into the scan body
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
+        return (params, ema, opt_state, rng), loss
+
     def run_steps(params, opt_state, rng, n):
         # N steps in one device program: a single dispatch, immune to the
         # host<->device tunnel latency of this environment
-        (params, opt_state, rng), losses = jax.lax.scan(
-            train_step, (params, opt_state, rng), None, length=n
-        )
+        if EMA:
+            ema0 = jax.tree_util.tree_map(jnp.copy, params)
+            (params, ema, opt_state, rng), losses = jax.lax.scan(
+                train_step_ema, (params, ema0, opt_state, rng), None, length=n
+            )
+            # fold a hash of the EMA into the loss read so it cannot be DCE'd
+            losses = losses + 0.0 * jax.tree_util.tree_leaves(ema)[0].ravel()[0]
+        else:
+            (params, opt_state, rng), losses = jax.lax.scan(
+                train_step, (params, opt_state, rng), None, length=n
+            )
         return params, opt_state, losses[-1]
 
     return run_steps, variables["params"], opt_state
