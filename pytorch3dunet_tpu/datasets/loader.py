@@ -31,15 +31,18 @@ _FORK_DATASETS: dict = {}
 _WORKER_DATASET = None
 
 
-def _init_process_worker(key):
+def _init_process_worker(key, base_seed, worker_id):
     global _WORKER_DATASET
     _WORKER_DATASET = _FORK_DATASETS[key]
     # decorrelate augmentations across workers: reseed the global RNGs AND
     # the fork-copied per-transform RandomStates (every worker would
     # otherwise replay the identical draw sequence). The raw and label
     # pipelines of a dataset get the SAME seed so paired geometric
-    # transforms stay in lockstep.
-    seed = (os.getpid() * 7919) % (2**31)
+    # transforms stay in lockstep. Seeds derive from base_seed + the worker
+    # INDEX (not the pid): with `manual_seed` set, augmentation is
+    # reproducible run-to-run — torch's DataLoader semantics
+    # (base_seed + worker_id), which the reference's determinism relies on.
+    seed = (base_seed + 7919 * (worker_id + 1)) % (2**31)
     np.random.seed(seed)
     import random as _stdlib_random
 
@@ -126,6 +129,8 @@ class DataLoader:
             # deterministic (reference parity with torch's seeded generators)
             seed = int(np.random.randint(0, 2**31 - 1))
         self._rng = np.random.RandomState(seed)
+        # base seed for process-worker augmentation RNGs (manual_seed-driven)
+        self._worker_base_seed = int(np.random.randint(0, 2**31 - 1))
         if worker_mode is None:
             worker_mode = "process" if (self.num_workers > 1 and sys.platform.startswith("linux")) else "thread"
         assert worker_mode in ("thread", "process")
@@ -151,9 +156,16 @@ class DataLoader:
             self._ds_locks = None
 
     def _get_executor(self):
-        """Worker pool, created once and reused across epochs (the reference
+        """Worker pool(s), created once and reused across epochs (the reference
         re-forks per epoch via torch's persistent_workers=False default; we
-        keep workers alive — forking 32 processes per epoch is pure waste)."""
+        keep workers alive — forking 32 processes per epoch is pure waste).
+
+        Process mode uses N single-worker pools and round-robins batches over
+        them (torch's batch->worker assignment): together with the indexed
+        worker seeds this makes augmentation reproducible run-to-run under
+        `manual_seed`. A shared pool would hand batches to whichever worker
+        frees up first — a scheduling-dependent RNG-stream consumption order.
+        """
         if self._executor is not None:
             return self._executor
         if self.worker_mode == "process":
@@ -166,19 +178,24 @@ class DataLoader:
                     ds.preload()
             key = id(self)
             _FORK_DATASETS[key] = self.dataset
-            self._executor = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=_init_process_worker,
-                initargs=(key,),
-            )
+            ctx = multiprocessing.get_context("fork")
+            self._executor = [
+                ProcessPoolExecutor(
+                    max_workers=1,
+                    mp_context=ctx,
+                    initializer=_init_process_worker,
+                    initargs=(key, self._worker_base_seed, worker_id),
+                )
+                for worker_id in range(self.num_workers)
+            ]
         else:
             self._executor = ThreadPoolExecutor(max_workers=self.num_workers, thread_name_prefix="loader")
         return self._executor
 
     def __del__(self):
-        if getattr(self, "_executor", None) is not None:
-            self._executor.shutdown(wait=False, cancel_futures=True)
+        executor = getattr(self, "_executor", None)
+        for ex in executor if isinstance(executor, list) else ([executor] if executor else []):
+            ex.shutdown(wait=False, cancel_futures=True)
         _FORK_DATASETS.pop(id(self), None)
 
     def __len__(self):
@@ -213,25 +230,27 @@ class DataLoader:
         return self.collate_fn(items)
 
     def __iter__(self):
-        batches = self._batch_indices()
+        batches = enumerate(self._batch_indices())
         executor = self._get_executor()
         if self.worker_mode == "process":
-            submit = lambda idx: executor.submit(_process_fetch, list(map(int, idx)))  # noqa: E731
+            # batch b -> worker b % num_workers: deterministic assignment
+            submit = lambda b, idx: executor[b % self.num_workers].submit(  # noqa: E731
+                _process_fetch, list(map(int, idx)))
             finalize = self.collate_fn  # collate in the parent (results are raw samples)
         else:
-            submit = lambda idx: executor.submit(self._fetch, idx)  # noqa: E731
+            submit = lambda b, idx: executor.submit(self._fetch, idx)  # noqa: E731
             finalize = None
 
         window: deque = deque()
         try:
             for _ in range(self.prefetch_batches):
-                window.append(submit(next(batches)))
+                window.append(submit(*next(batches)))
         except StopIteration:
             pass
         while window:
             result = window.popleft().result()
             try:
-                window.append(submit(next(batches)))
+                window.append(submit(*next(batches)))
             except StopIteration:
                 pass
             yield finalize(result) if finalize is not None else result

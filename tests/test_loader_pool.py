@@ -81,3 +81,72 @@ def test_thread_mode_serializes_paired_transforms():
     dl = DataLoader(_PairedDS(), batch_size=1, num_workers=4, worker_mode="thread")
     for raw, label in dl:
         np.testing.assert_array_equal(raw, label)
+
+
+def test_process_workers_reproducible_under_manual_seed(tmpdir):
+    """torch-DataLoader determinism parity: with the global RNG seeded, two
+    runs produce IDENTICAL augmented batches in process mode — worker seeds
+    derive from a seed + worker index (not the pid) and batches round-robin
+    over the workers (batch b -> worker b % N), so each worker consumes its
+    RNG stream in the same order every run."""
+    import os
+
+    import h5py
+
+    from pytorch3dunet_tpu.datasets.utils import get_train_loaders
+
+    rs = np.random.RandomState(3)
+    path = os.path.join(str(tmpdir), "t.h5")
+    vpath = os.path.join(str(tmpdir), "v.h5")
+    for p in (path, vpath):
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=rs.rand(16, 96, 96))
+            f.create_dataset("label", data=(rs.rand(16, 96, 96) > 0.5).astype(np.float32))
+
+    config = {
+        "device": "cpu",
+        "loaders": {
+            "batch_size": 1,
+            "num_workers": 2,
+            "worker_mode": "process",
+            "raw_internal_path": "raw",
+            "label_internal_path": "label",
+            "train": {
+                "file_paths": [path],
+                "slice_builder": {"name": "SliceBuilder", "patch_shape": [8, 48, 48],
+                                  "stride_shape": [8, 48, 48], "skip_shape_check": True},
+                "transformer": {
+                    "raw": [{"name": "Standardize"}, {"name": "RandomFlip"},
+                            {"name": "AdditiveGaussianNoise", "execution_probability": 1.0},
+                            {"name": "ToTensor", "expand_dims": True}],
+                    "label": [{"name": "RandomFlip"}, {"name": "ToTensor", "expand_dims": True}],
+                },
+            },
+            "val": {
+                "file_paths": [vpath],
+                "slice_builder": {"name": "SliceBuilder", "patch_shape": [8, 48, 48],
+                                  "stride_shape": [8, 48, 48], "skip_shape_check": True},
+                "transformer": {
+                    "raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}],
+                    "label": [{"name": "ToTensor", "expand_dims": True}],
+                },
+            },
+        },
+    }
+
+    def run_epoch():
+        import pytorch3dunet_tpu.augment.transforms as T
+
+        # a fresh process would start with the module-level RandomState(47);
+        # simulate that (and manual_seed) for both runs
+        T.GLOBAL_RANDOM_STATE = np.random.RandomState(47)
+        np.random.seed(5)
+        loaders = get_train_loaders(dict(config))
+        return [(np.asarray(r), np.asarray(l)) for r, l in loaders["train"]]
+
+    a = run_epoch()
+    b = run_epoch()
+    assert len(a) == len(b) == 8
+    for (ra, la), (rb, lb) in zip(a, b):
+        np.testing.assert_array_equal(ra, rb)
+        np.testing.assert_array_equal(la, lb)
