@@ -69,6 +69,35 @@ def main(patch_batch=1, tta=False):
           f"{vox/dt/1e6:.1f} Mvox/s device-side")
 
 
+def main_slab(slab_z=32):
+    """Full-xy z-slab geometry: patches span the whole xy plane so the halo
+    (and its redundant compute) is needed only along z. On the canonical
+    128x320x320 volume the canonical 64x160x160+halo(8,16,16) grid recomputes
+    1.8x the volume; a 32x320x320 slab with halo (8,0,0) recomputes 1.5x and
+    a 64-slab 1.25x. Measures whether the saved redundancy survives the
+    layout change end-to-end."""
+    model = get_model({
+        "name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 32,
+        "layer_order": "gcr", "num_groups": 8, "final_sigmoid": True,
+        "dtype": "bfloat16",
+    })
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(32, 64, 64))
+
+    vol = (128, 320, 320)
+    patch = (slab_z, 320, 320)
+    halo = (8, 0, 0)
+    rs = np.random.RandomState(0)
+    padded = np.pad(rs.rand(*vol).astype(np.float32), tuple((h, h) for h in halo), mode="reflect")
+    starts = np.asarray([(z, 0, 0) for z in range(0, 128, slab_z)], np.int32)
+
+    sweep = DeviceSlidingWindow(model, patch_shape=patch, halo_shape=halo,
+                                normalize="standardize_patch", patch_batch=1)
+    warm, dt = _timed_sweeps(sweep, variables, padded, starts)
+    vox = int(np.prod(vol))
+    print(f"3D slab z={slab_z} halo=(8,0,0): warm {warm:.2f}s, steady {dt*1e3:.1f} ms -> "
+          f"{vox/dt/1e6:.1f} Mvox/s device-side")
+
+
 def _timed_sweeps(sweep, variables, padded, starts, n=5):
     """Times the sweep tunnel-immune: N sweeps run inside ONE dispatch
     (lax.scan, key-perturbed volume) so the seconds-long host<->device RTT of
@@ -108,6 +137,9 @@ if __name__ == "__main__":
             main_2d(patch_batch=b)
     elif "tta" in sys.argv[1:]:
         main(patch_batch=1, tta=True)
+    elif "slab" in sys.argv[1:]:
+        for z in (32, 64):
+            main_slab(slab_z=z)
     else:
         for b in ([1, 2, 4] if "bsweep" in sys.argv[1:] else [1]):
             main(patch_batch=b)
