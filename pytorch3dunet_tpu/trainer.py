@@ -583,7 +583,16 @@ class UNetTrainer:
                 )
                 self._log_stats("train", train_losses.avg, train_eval_scores.avg)
                 self.writer.add_scalar("train_voxels_per_sec", self._step_voxels.avg, self.num_iterations)
-                self._log_images(np.asarray(raw), np.asarray(target_host), out_np, "train_")
+                if self.device_augmenter is not None:
+                    # log the batch the network actually saw: with device-side
+                    # augmentation the host arrays are PRE-augmentation, so the
+                    # logged targets would not match the logged predictions
+                    raw_log = np.moveaxis(self._local_np(inp), -1, 1)
+                    tgt_np = self._local_np(target)
+                    target_log = np.moveaxis(tgt_np, -1, 1) if tgt_np.ndim == raw_log.ndim else tgt_np
+                else:
+                    raw_log, target_log = np.asarray(raw), np.asarray(target_host)
+                self._log_images(raw_log, target_log, out_np, "train_")
                 if self.log_params:
                     if self._grad_fn is None:
                         self._grad_fn = self._build_grad_fn()
