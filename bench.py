@@ -51,6 +51,10 @@ FMAPS = int(os.environ.get("P3DUNET_BENCH_FMAPS", "32"))
 # EMA of the weights (trainer.ema_decay): adds one params-sized tree_map to
 # every step; the knob measures its real cost on-chip
 EMA = os.environ.get("P3DUNET_BENCH_EMA", "0") == "1"
+# per-compile XLA options (JSON dict) passed to jax.jit(compiler_options=...).
+# The env-var XLA_FLAGS path is rejected by the axon plugin (BENCH_NOTES r3);
+# this is the alternate plumbing the r3 verdict asked to try.
+COMPILER_OPTIONS = json.loads(os.environ.get("P3DUNET_BENCH_COMPILER_OPTIONS", "null"))
 
 
 def build_train_step():
@@ -144,7 +148,8 @@ def build_train_step():
 def main():
     run_steps, params, opt_state = build_train_step()
     n_steps = N_STEPS
-    run = jax.jit(run_steps, static_argnums=(3,), donate_argnums=(0, 1))
+    run = jax.jit(run_steps, static_argnums=(3,), donate_argnums=(0, 1),
+                  compiler_options=COMPILER_OPTIONS)
 
     # warmup (compile); a different rng key than the timed run so no result
     # caching layer can alias the two computations

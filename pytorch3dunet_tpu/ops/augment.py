@@ -324,6 +324,99 @@ def blobs_to_mask(label, append_label=False):
     return jnp.stack(channels, axis=-1)
 
 
+def _axis_affinity(label, volume_axis: int, offset):
+    """One affinity channel: 1 where the label changes across `offset` voxels
+    along `volume_axis`. The host computes this as |convolve(m, k)| > 0 with a
+    +1/-1 offset kernel (reference transforms.py:452-455,476-485); scipy's
+    centered convolve reads taps m[i + ceil(o/2)] and m[i - floor(o/2)] with
+    'reflect' boundary, which is what the gather below compares directly.
+    `offset` may be a traced scalar (RandomLabelToAffinities)."""
+    n = label.shape[volume_axis]
+    i = jnp.arange(n)
+    hi = _reflect_index(i + (offset + 1) // 2, n)
+    lo = _reflect_index(i - offset // 2, n)
+    taps_hi = jnp.take(label, hi, axis=volume_axis)
+    taps_lo = jnp.take(label, lo, axis=volume_axis)
+    return (taps_hi != taps_lo).astype(jnp.float32)
+
+
+# reference kernel emission order is X, Y, Z (AXES_TRANSPOSE,
+# transforms.py:430-436) = channels-last volume axes 2, 1, 0
+_AFFINITY_VOLUME_AXES = (2, 1, 0)
+
+
+def label_to_affinities(label, offsets, z_offsets=None, aggregate_affinities=False,
+                        append_label=False, ignore_index=None):
+    """Device LabelToAffinities (reference transforms.py:524-566): one channel
+    per (offset, axis) pair in X, Y, Z kernel order; optional OR-aggregation
+    across the three axes of each offset. (D, H, W) -> channels-last."""
+    z_offsets = list(offsets) if z_offsets is None else list(z_offsets)
+    assert len(z_offsets) == len(offsets)
+    channels = []
+    for xy, z in zip(offsets, z_offsets):
+        triple = [
+            _axis_affinity(label, axis, z if axis == 0 else xy)
+            for axis in _AFFINITY_VOLUME_AXES
+        ]
+        if aggregate_affinities:
+            agg = jnp.maximum(jnp.maximum(triple[0], triple[1]), triple[2])
+            channels.append(_recover_ignore(agg, label, ignore_index))
+        else:
+            channels.extend(_recover_ignore(c, label, ignore_index) for c in triple)
+    if append_label:
+        channels.append(label.astype(jnp.float32))
+    return jnp.stack(channels, axis=-1)
+
+
+def label_to_z_affinities(label, offsets, append_label=False, ignore_index=None):
+    """Device LabelToZAffinities (reference transforms.py:569-595): affinity
+    channels along the z axis only."""
+    channels = [_recover_ignore(_axis_affinity(label, 0, o), label, ignore_index) for o in offsets]
+    if append_label:
+        channels.append(label.astype(jnp.float32))
+    return jnp.stack(channels, axis=-1)
+
+
+def random_label_to_affinities(key, label, max_offset: int = 10, z_offset_scale: int = 2,
+                               append_label=False, ignore_index=None):
+    """Device RandomLabelToAffinities (reference transforms.py:490-521): one
+    affinity channel at a random offset along a random axis per call (z offsets
+    scaled down for anisotropy). Draws come from the device PRNG instead of the
+    transformer's RandomState — same distribution, different stream."""
+    ko, ka = jax.random.split(key)
+    offset = jax.random.randint(ko, (), 1, max_offset + 1)
+    axis_ind = jax.random.randint(ka, (), 0, 3)  # reference order: X, Y, Z
+    offset = jnp.where(axis_ind == 2, jnp.maximum(1, offset // z_offset_scale), offset)
+    aff = jax.lax.switch(axis_ind, [
+        partial(_axis_affinity, label, axis) for axis in _AFFINITY_VOLUME_AXES
+    ], offset)
+    channels = [_recover_ignore(aff, label, ignore_index)]
+    if append_label:
+        channels.append(label.astype(jnp.float32))
+    return jnp.stack(channels, axis=-1)
+
+
+def label_to_boundary_and_affinities(label, xy_offsets, z_offsets, append_label=False,
+                                     ignore_index=None, foreground=False):
+    """Device LabelToBoundaryAndAffinities, mode='thick' (reference
+    transforms.py:598-631): thick-boundary channel(s) followed by the affinity
+    channels; append_label applies to the affinity block, as on host."""
+    b = standard_label_to_boundary(label, ignore_index=ignore_index, foreground=foreground)
+    a = label_to_affinities(label, xy_offsets, z_offsets, append_label=append_label,
+                            ignore_index=ignore_index)
+    return jnp.concatenate([b, a], axis=-1)
+
+
+def label_to_mask_and_affinities(label, xy_offsets, z_offsets, append_label=False,
+                                 background=0, ignore_index=None):
+    """Device LabelToMaskAndAffinities (reference transforms.py:634-650):
+    foreground-mask channel followed by the affinity channels."""
+    mask = (label > background).astype(jnp.float32)[..., None]
+    a = label_to_affinities(label, xy_offsets, z_offsets, append_label=append_label,
+                            ignore_index=ignore_index)
+    return jnp.concatenate([mask, a], axis=-1)
+
+
 def paired_geometric(key, raw, label, axis_prob: float = 0.5, rot90: bool = True):
     """Applies the shared-geometry transforms (flip + rot90) to a raw/label
     pair with one key — the device analog of the Transformer seed pairing."""
@@ -346,6 +439,10 @@ DEVICE_MOVABLE = {
     "AdditiveGaussianNoise", "AdditivePoissonNoise", "GaussianBlur3D", "RandomContrast",
 }
 _PAIRED = {"RandomFlip", "RandomRotate90", "RandomRotate", "ElasticDeformation"}
+# geometric transforms that do NOT commute with label engineering: when the
+# engineering stays on host, these must not be reordered after it (the device
+# runs its transforms last) — boundary-of-deformed != deformed-boundary
+_ORDER_SENSITIVE = {"RandomRotate", "ElasticDeformation"}
 
 
 def _rotate_axes(cfg) -> tuple:
@@ -355,10 +452,16 @@ def _rotate_axes(cfg) -> tuple:
 
 def _label_post_movable(cfg: dict) -> bool:
     """True when a label-engineering transform has an exact device kernel."""
-    if cfg.get("name") == "StandardLabelToBoundary":
+    name = cfg.get("name")
+    if name == "StandardLabelToBoundary":
         return cfg.get("mode", "thick") == "thick"
-    if cfg.get("name") == "BlobsToMask":
+    if name == "BlobsToMask":
         return not cfg.get("boundary", False)
+    if name in ("LabelToAffinities", "LabelToZAffinities", "RandomLabelToAffinities",
+                "LabelToMaskAndAffinities"):
+        return True
+    if name == "LabelToBoundaryAndAffinities":
+        return cfg.get("mode", "thick") == "thick"
     return False
 
 
@@ -368,19 +471,57 @@ def split_device_transforms(loaders_config: dict):
 
     The geometric transforms (flip/rot90/elastic) are applied identically to
     raw and label on device; intensity/noise transforms apply to raw only.
-    Note the device transforms run AFTER the remaining host transforms (e.g.
-    label engineering) — an intentional, documented reordering of the host
-    pipeline that preserves the augmentation distribution.
+    The device transforms run AFTER the remaining host transforms. When the
+    host residue includes label ENGINEERING (boundary/affinity channels) that
+    has no device kernel, the order-sensitive geometric transforms
+    (ElasticDeformation/RandomRotate) are kept on the host pipeline too — a
+    device-side elastic applied after host engineering would produce deformed
+    boundaries instead of boundaries of the deformed label.
     """
     if not loaders_config.get("device_augment", False):
         return None
     train_tf = loaders_config["train"]["transformer"]
     spec = {"paired": [], "raw_only": []}
-    label_names = {t["name"] for t in train_tf.get("label", [])}
+    label_tfs = train_tf.get("label", [])
+    label_names = {t["name"] for t in label_tfs}
+    raw_names = {t["name"] for t in train_tf.get("raw", [])}
+
+    # decide FIRST whether the label engineering can move: the residue after
+    # stripping the paired geometric transforms must be exactly
+    # [movable-engineering, plain ToTensor] (or a bare [ToTensor])
+    residual = [t for t in label_tfs if not (t["name"] in _PAIRED and t["name"] in raw_names)]
+
+    def _plain_to_tensor(cfg):
+        # a normalize/dtype-carrying ToTensor runs BEFORE the engineering once
+        # moved (on the raw label instead of the engineered stack) — that
+        # would change the targets; only a plain float cast is safe
+        return (cfg.get("name") == "ToTensor" and not cfg.get("normalize", False)
+                and cfg.get("dtype", "float32") in ("float32", np.float32, float))
+
+    post_cfg = None
+    if len(residual) == 2 and _plain_to_tensor(residual[1]) and _label_post_movable(residual[0]):
+        post_cfg = residual[0]
+    host_engineering = (
+        post_cfg is None
+        and any(t.get("name") != "ToTensor" for t in residual)
+    )
+
+    movable = set(DEVICE_MOVABLE)
+    if host_engineering and (_ORDER_SENSITIVE & raw_names):
+        movable -= _ORDER_SENSITIVE
+        from pytorch3dunet_tpu.utils import get_logger
+
+        blockers = [t["name"] for t in residual if t.get("name") != "ToTensor"]
+        get_logger("DeviceAugment").warning(
+            f"label engineering {blockers} has no device kernel; keeping "
+            f"{sorted(_ORDER_SENSITIVE & raw_names)} on the host pipeline so the "
+            "engineering still sees the deformed label (reference ordering). "
+            "Flips/rot90 still run on device."
+        )
 
     kept_raw = []
     for t in train_tf.get("raw", []):
-        if t["name"] in DEVICE_MOVABLE:
+        if t["name"] in movable:
             if t["name"] in _PAIRED and t["name"] in label_names:
                 label_cfg = next(lt for lt in train_tf["label"] if lt["name"] == t["name"])
                 spec["paired"].append({"raw": dict(t), "label": dict(label_cfg)})
@@ -395,24 +536,19 @@ def split_device_transforms(loaders_config: dict):
     moved_paired = {p["label"]["name"] for p in spec["paired"]}
     train_tf["label"] = [t for t in train_tf.get("label", []) if t["name"] not in moved_paired]
 
-    # label engineering (boundary/mask channels): when the remaining host
-    # label pipeline is exactly [engineering, ToTensor] and the engineering
-    # op has a device kernel, move it device-side too. Besides removing the
-    # last heavy host transform, this RESTORES the reference's ordering —
-    # boundaries are computed AFTER the geometric deformation, as on host.
-    remaining = train_tf["label"]
+    # label engineering (boundary/mask/affinity channels): when the remaining
+    # host label pipeline is exactly [engineering, ToTensor] and the
+    # engineering op has a device kernel (post_cfg, decided above), move it
+    # device-side too. Besides removing the last heavy host transform, this
+    # RESTORES the reference's ordering — boundaries/affinities are computed
+    # AFTER the geometric deformation, as on host.
     spec["label_post"] = None
-    plain_to_tensor = (
-        len(remaining) == 2
-        and remaining[1].get("name") == "ToTensor"
-        # a normalize/dtype-carrying ToTensor runs BEFORE the engineering
-        # once moved (on the raw label instead of the engineered stack) —
-        # that would change the targets; only a plain float cast is safe
-        and not remaining[1].get("normalize", False)
-        and remaining[1].get("dtype", "float32") in ("float32", np.float32, float)
-    )
-    if plain_to_tensor and _label_post_movable(remaining[0]):
-        spec["label_post"] = dict(remaining[0])
+    if post_cfg is not None:
+        remaining = train_tf["label"]
+        # post_cfg was decided against the same residue the strip produced
+        # (the order guard only fires when post_cfg is None)
+        assert len(remaining) == 2 and remaining[0] == post_cfg, remaining
+        spec["label_post"] = dict(post_cfg)
         to_tensor = dict(remaining[1])
         # the raw label is now 3D on host; the channel stacking happens on device
         to_tensor["expand_dims"] = True
@@ -505,14 +641,52 @@ class DeviceAugmenter:
             post = spec.get("label_post")
             if post is not None:
                 lab3 = label[..., 0].astype(jnp.float32)  # single-channel raw label
-                if post["name"] == "StandardLabelToBoundary":
+                name = post["name"]
+                if name == "StandardLabelToBoundary":
                     label = standard_label_to_boundary(
                         lab3, ignore_index=post.get("ignore_index"),
                         append_label=post.get("append_label", False),
                         foreground=post.get("foreground", False),
                     )
-                else:
+                elif name == "BlobsToMask":
                     label = blobs_to_mask(lab3, append_label=post.get("append_label", False))
+                elif name == "LabelToAffinities":
+                    label = label_to_affinities(
+                        lab3, post["offsets"], z_offsets=post.get("z_offsets"),
+                        aggregate_affinities=post.get("aggregate_affinities", False),
+                        append_label=post.get("append_label", False),
+                        ignore_index=post.get("ignore_index"),
+                    )
+                elif name == "LabelToZAffinities":
+                    label = label_to_z_affinities(
+                        lab3, post["offsets"],
+                        append_label=post.get("append_label", False),
+                        ignore_index=post.get("ignore_index"),
+                    )
+                elif name == "RandomLabelToAffinities":
+                    key, kpost = jax.random.split(key)
+                    label = random_label_to_affinities(
+                        kpost, lab3, max_offset=post.get("max_offset", 10),
+                        z_offset_scale=post.get("z_offset_scale", 2),
+                        append_label=post.get("append_label", False),
+                        ignore_index=post.get("ignore_index"),
+                    )
+                elif name == "LabelToBoundaryAndAffinities":
+                    label = label_to_boundary_and_affinities(
+                        lab3, post["xy_offsets"], post["z_offsets"],
+                        append_label=post.get("append_label", False),
+                        ignore_index=post.get("ignore_index"),
+                        foreground=post.get("foreground", False),
+                    )
+                elif name == "LabelToMaskAndAffinities":
+                    label = label_to_mask_and_affinities(
+                        lab3, post["xy_offsets"], post["z_offsets"],
+                        append_label=post.get("append_label", False),
+                        background=post.get("background", 0),
+                        ignore_index=post.get("ignore_index"),
+                    )
+                else:  # unreachable: _label_post_movable gates the names
+                    raise ValueError(f"no device kernel for label engineering '{name}'")
             return raw, label
 
         return jax.jit(jax.vmap(augment_one))

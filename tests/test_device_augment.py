@@ -335,3 +335,192 @@ class TestDeviceLabelEngineering:
         lab[:, :, 4:] = 2**24 + 1
         out = np.asarray(thick_boundary(jnp.asarray(lab)))
         assert out[:, :, 3:5].all() and not out[:, :, :3].any()
+
+class TestDeviceAffinities:
+    """Device affinity kernels vs the host transforms (which are themselves
+    oracle-tested against the live reference)."""
+
+    @staticmethod
+    def _label(seed=5, shape=(9, 15, 17)):
+        return np.random.RandomState(seed).randint(0, 5, size=shape).astype(np.int64)
+
+    def test_label_to_affinities_matches_host(self):
+        from pytorch3dunet_tpu.augment.transforms import LabelToAffinities
+        from pytorch3dunet_tpu.ops.augment import label_to_affinities
+
+        lab = self._label()
+        for kwargs in (
+            dict(offsets=[1, 2, 4]),
+            dict(offsets=[1, 3], z_offsets=[1, 2]),
+            dict(offsets=[2, 4], aggregate_affinities=True),
+            dict(offsets=[1], append_label=True),
+            dict(offsets=[1, 2], ignore_index=0),
+        ):
+            host = LabelToAffinities(**kwargs)(lab)
+            dev = np.asarray(label_to_affinities(jnp.asarray(lab), **kwargs))
+            np.testing.assert_array_equal(np.moveaxis(dev, -1, 0), host.astype(np.float32), err_msg=str(kwargs))
+
+    def test_label_to_z_affinities_matches_host(self):
+        from pytorch3dunet_tpu.augment.transforms import LabelToZAffinities
+        from pytorch3dunet_tpu.ops.augment import label_to_z_affinities
+
+        lab = self._label(6)
+        for kwargs in (dict(offsets=[1, 2, 3]), dict(offsets=[2], append_label=True),
+                       dict(offsets=[1, 4], ignore_index=0)):
+            host = LabelToZAffinities(**kwargs)(lab)
+            dev = np.asarray(label_to_z_affinities(jnp.asarray(lab), **kwargs))
+            np.testing.assert_array_equal(np.moveaxis(dev, -1, 0), host.astype(np.float32), err_msg=str(kwargs))
+
+    def test_label_to_boundary_and_affinities_matches_host(self):
+        from pytorch3dunet_tpu.augment.transforms import LabelToBoundaryAndAffinities
+        from pytorch3dunet_tpu.ops.augment import label_to_boundary_and_affinities
+
+        lab = self._label(7)
+        for kwargs in (dict(xy_offsets=[1, 2], z_offsets=[1, 1]),
+                       dict(xy_offsets=[2], z_offsets=[1], append_label=True, foreground=True)):
+            host = LabelToBoundaryAndAffinities(**kwargs)(lab)
+            dev = np.asarray(label_to_boundary_and_affinities(jnp.asarray(lab), **kwargs))
+            np.testing.assert_array_equal(np.moveaxis(dev, -1, 0), host.astype(np.float32), err_msg=str(kwargs))
+
+    def test_label_to_mask_and_affinities_matches_host(self):
+        from pytorch3dunet_tpu.augment.transforms import LabelToMaskAndAffinities
+        from pytorch3dunet_tpu.ops.augment import label_to_mask_and_affinities
+
+        lab = self._label(8)
+        for kwargs in (dict(xy_offsets=[1, 3], z_offsets=[1, 2]),
+                       dict(xy_offsets=[1], z_offsets=[1], background=1)):
+            host = LabelToMaskAndAffinities(**kwargs)(lab)
+            dev = np.asarray(label_to_mask_and_affinities(jnp.asarray(lab), **kwargs))
+            np.testing.assert_array_equal(np.moveaxis(dev, -1, 0), host.astype(np.float32), err_msg=str(kwargs))
+
+    def test_random_label_to_affinities_is_a_valid_host_draw(self):
+        """Each keyed device draw must equal the host transform for SOME
+        (axis, offset) in its support — same family, device-PRNG stream."""
+        from pytorch3dunet_tpu.augment.transforms import AbstractLabelToBoundary
+        from pytorch3dunet_tpu.ops.augment import random_label_to_affinities
+
+        lab = self._label(9, shape=(8, 12, 12))
+        max_offset, z_scale = 6, 2
+
+        class _OneKernel(AbstractLabelToBoundary):
+            def __init__(self, axis_ind, offset):
+                super().__init__()
+                self._k = [self.create_kernel(self.AXES_TRANSPOSE[axis_ind], offset)]
+
+            def get_kernels(self):
+                return self._k
+
+        support = []
+        for axis_ind in range(3):
+            for off in range(1, max_offset + 1):
+                o = max(1, off // z_scale) if axis_ind == 2 else off
+                support.append(_OneKernel(axis_ind, o)(lab).astype(np.float32))
+
+        for seed in range(4):
+            dev = np.moveaxis(np.asarray(random_label_to_affinities(
+                jax.random.PRNGKey(seed), jnp.asarray(lab), max_offset=max_offset,
+                z_offset_scale=z_scale)), -1, 0)
+            assert any(np.array_equal(dev, h) for h in support), f"seed {seed} not in host support"
+
+
+class TestEngineeringAfterGeometry:
+    """Ordering equivalence: the device pipeline computes label engineering
+    AFTER the geometric transforms — engineering(flip(label)), exactly as the
+    reference host pipeline orders it. axis_prob=0 makes RandomFlip flip all
+    three axes deterministically on host and device alike."""
+
+    CASES = [
+        ({"name": "StandardLabelToBoundary", "append_label": True}, "StandardLabelToBoundary"),
+        ({"name": "BlobsToMask"}, "BlobsToMask"),
+        ({"name": "LabelToAffinities", "offsets": [1, 2]}, "LabelToAffinities"),
+        ({"name": "LabelToZAffinities", "offsets": [1, 2]}, "LabelToZAffinities"),
+        ({"name": "LabelToBoundaryAndAffinities", "xy_offsets": [1, 2], "z_offsets": [1, 1]},
+         "LabelToBoundaryAndAffinities"),
+        ({"name": "LabelToMaskAndAffinities", "xy_offsets": [1], "z_offsets": [1]},
+         "LabelToMaskAndAffinities"),
+    ]
+
+    def test_each_movable_engineering_sees_the_transformed_label(self):
+        import pytorch3dunet_tpu.augment.transforms as T
+        from pytorch3dunet_tpu.ops.augment import DeviceAugmenter, split_device_transforms
+
+        rs = np.random.RandomState(11)
+        lab_np = rs.randint(0, 4, size=(8, 12, 12)).astype(np.float32)
+        raw = jnp.asarray(rs.rand(1, 8, 12, 12, 1).astype(np.float32))
+        label = jnp.asarray(lab_np[None, ..., None])
+
+        for eng_cfg, host_name in self.CASES:
+            loaders = {
+                "device_augment": True,
+                "train": {"transformer": {
+                    "raw": [{"name": "RandomFlip", "axis_prob": 0.0},
+                            {"name": "ToTensor", "expand_dims": True}],
+                    "label": [{"name": "RandomFlip", "axis_prob": 0.0}, dict(eng_cfg),
+                              {"name": "ToTensor", "expand_dims": False}],
+                }},
+            }
+            spec = split_device_transforms(loaders)
+            assert spec["label_post"]["name"] == eng_cfg["name"]
+            out_raw, out_label = DeviceAugmenter(spec)(jax.random.PRNGKey(0), raw, label)
+
+            host_cls = getattr(T, host_name)
+            kwargs = {k: v for k, v in eng_cfg.items() if k != "name"}
+            expected = host_cls(**kwargs)(np.flip(lab_np, (0, 1, 2)))  # engineering AFTER the flip
+            np.testing.assert_array_equal(
+                np.moveaxis(np.asarray(out_label[0]), -1, 0), expected.astype(np.float32),
+                err_msg=host_name)
+            np.testing.assert_array_equal(np.asarray(out_raw[0]), np.flip(np.asarray(raw[0]), (0, 1, 2)))
+
+
+class TestOrderGuard:
+    def test_elastic_and_rotate_stay_on_host_with_unmovable_engineering(self, caplog):
+        from pytorch3dunet_tpu.ops.augment import split_device_transforms
+
+        loaders = {
+            "device_augment": True,
+            "train": {"transformer": {
+                "raw": [{"name": "RandomFlip"}, {"name": "RandomRotate"},
+                        {"name": "ElasticDeformation", "spline_order": 3},
+                        {"name": "ToTensor", "expand_dims": True}],
+                # Relabel has no device kernel: elastic/rotate must NOT be
+                # reordered after it (deformed-boundary != boundary-of-deformed)
+                "label": [{"name": "RandomFlip"}, {"name": "RandomRotate"},
+                          {"name": "ElasticDeformation", "spline_order": 0},
+                          {"name": "Relabel"},
+                          {"name": "BlobsToMask"},
+                          {"name": "ToTensor", "expand_dims": False}],
+            }},
+        }
+        import logging
+        with caplog.at_level(logging.WARNING):
+            spec = split_device_transforms(loaders)
+        assert spec["label_post"] is None
+        # flips still move; elastic + rotate stay paired on the HOST pipeline
+        assert [p["raw"]["name"] for p in spec["paired"]] == ["RandomFlip"]
+        raw_names = [t["name"] for t in loaders["train"]["transformer"]["raw"]]
+        label_names = [t["name"] for t in loaders["train"]["transformer"]["label"]]
+        assert raw_names == ["RandomRotate", "ElasticDeformation", "ToTensor"]
+        assert label_names == ["RandomRotate", "ElasticDeformation", "Relabel", "BlobsToMask", "ToTensor"]
+        assert any("no device kernel" in r.message for r in caplog.records)
+
+    def test_affinity_engineering_now_moves_with_elastic(self):
+        """The lightsheet-style recipe: affinity engineering has a device
+        kernel, so the guard does not fire and the whole pipeline moves."""
+        from pytorch3dunet_tpu.ops.augment import split_device_transforms
+
+        loaders = {
+            "device_augment": True,
+            "train": {"transformer": {
+                "raw": [{"name": "ElasticDeformation", "spline_order": 3},
+                        {"name": "ToTensor", "expand_dims": True}],
+                "label": [{"name": "ElasticDeformation", "spline_order": 0},
+                          {"name": "LabelToBoundaryAndAffinities",
+                           "xy_offsets": [1], "z_offsets": [1]},
+                          {"name": "ToTensor", "expand_dims": False}],
+            }},
+        }
+        spec = split_device_transforms(loaders)
+        assert spec["label_post"]["name"] == "LabelToBoundaryAndAffinities"
+        assert [p["raw"]["name"] for p in spec["paired"]] == ["ElasticDeformation"]
+        assert loaders["train"]["transformer"]["raw"] == [{"name": "ToTensor", "expand_dims": True}]
+        assert loaders["train"]["transformer"]["label"] == [{"name": "ToTensor", "expand_dims": True}]
