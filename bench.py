@@ -51,6 +51,10 @@ FMAPS = int(os.environ.get("P3DUNET_BENCH_FMAPS", "32"))
 # EMA of the weights (trainer.ema_decay): adds one params-sized tree_map to
 # every step; the knob measures its real cost on-chip
 EMA = os.environ.get("P3DUNET_BENCH_EMA", "0") == "1"
+# patches per forward in the predict sweep (DeviceSlidingWindow patch_batch).
+# The 2D sweep gained 25% from batching z-slices (BENCH_NOTES r3); this knob
+# measures the 3D analogue.
+PATCH_BATCH = int(os.environ.get("P3DUNET_BENCH_PATCH_BATCH", "1"))
 # per-compile XLA options (JSON dict) passed to jax.jit(compiler_options=...).
 # The env-var XLA_FLAGS path is rejected by the axon plugin (BENCH_NOTES r3);
 # this is the alternate plumbing the r3 verdict asked to try.
@@ -174,7 +178,7 @@ def measure_predict(n_sweeps: int = 5):
     starts = jnp.asarray(
         [(z, y, x) for z in (0, 64) for y in (0, 160) for x in (0, 160)], jnp.int32)
     sweep = DeviceSlidingWindow(model, patch_shape=(64, 160, 160), halo_shape=halo,
-                                normalize="standardize_patch", patch_batch=1)
+                                normalize="standardize_patch", patch_batch=PATCH_BATCH)
     stats = sweep._stats_pytree()
 
     @jax.jit

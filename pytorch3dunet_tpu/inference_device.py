@@ -198,8 +198,13 @@ class DeviceSlidingWindow:
         if vary_axis is not None:
             # inside shard_map the loop carry depends on the sharded starts:
             # mark the (replicated-zero) initial accumulators as device-varying
-            out = jax.lax.pvary(out, vary_axis)
-            weights = jax.lax.pvary(weights, vary_axis) if weights is not None else None
+            _vary = (
+                (lambda x: jax.lax.pcast(x, vary_axis, to="varying"))
+                if hasattr(jax.lax, "pcast")  # pvary is deprecated from jax 0.9
+                else (lambda x: jax.lax.pvary(x, vary_axis))
+            )
+            out = _vary(out)
+            weights = _vary(weights) if weights is not None else None
 
         def stitch(carry, s0, core):
             out, weights = carry
