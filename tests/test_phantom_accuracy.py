@@ -1,0 +1,150 @@
+"""Real-data-shaped accuracy gate on a synthetic instance phantom.
+
+The reference gates its instance metrics on a real ovule crop
+(reference tests/test_criterion.py:95-120: BoundaryAveragePrecision > 0.5,
+BoundaryAdaptedRandError < 0.2) — that H5 is an LFS blob absent from this
+mount. This test reproduces the PATTERN without the blob, and goes further
+than the reference: the gates run on OUR TRAINED OUTPUT, not on hand-built
+prediction arrays. A jittered-lattice Voronoi phantom (touching cell
+instances, thick boundaries, noisy raw) is synthesized; the confocal-style
+recipe (UNet3D + BCEDice on StandardLabelToBoundary targets) trains to
+convergence through the real trainer; the real sliding-window predictor
+produces the boundary map on a held-out phantom; the reference thresholds
+must hold on the resulting instance segmentation.
+
+Calibration (binary ideal-boundary baseline on this geometry: AP ~0.70-0.78,
+ARand ~0.13-0.14; the trained soft map measured AP=0.78, ARand=0.13): the
+gates have real margin but still fail for an untrained or diverged model
+(random init: AP ~0, ARand ~1).
+"""
+
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from pytorch3dunet_tpu.augment.transforms import StandardLabelToBoundary
+
+
+def _make_phantom(seed, shape=(64, 128, 128), grid=(2, 2, 3), jitter=0.3):
+    """Jittered-lattice Voronoi instances (uniform cell sizes — uniform seeds
+    produce sliver cells whose low IoU makes AP seed-dependent) + microscopy-
+    like raw: bright interiors, dark smoothed boundary valleys, noise."""
+    from scipy.ndimage import gaussian_filter
+
+    rs = np.random.RandomState(seed)
+    pts = []
+    for iz in range(grid[0]):
+        for iy in range(grid[1]):
+            for ix in range(grid[2]):
+                c = [(i + 0.5) * s / g for i, s, g in zip((iz, iy, ix), shape, grid)]
+                j = [rs.uniform(-jitter, jitter) * s / g for s, g in zip(shape, grid)]
+                pts.append([ci + ji for ci, ji in zip(c, j)])
+    pts = np.asarray(pts, np.float32)
+    zz, yy, xx = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape], indexing="ij")
+    voxels = np.stack([zz, yy, xx], -1).reshape(-1, 3)
+    label = ((voxels[:, None, :] - pts[None]) ** 2).sum(-1).argmin(1)
+    label = label.reshape(shape).astype(np.int64) + 1
+
+    boundary = StandardLabelToBoundary()(label)[0].astype(np.float32)
+    raw = 1.0 - 0.9 * gaussian_filter(boundary, 0.7) + 0.08 * rs.randn(*shape).astype(np.float32)
+    return raw.astype(np.float32), label
+
+
+def _write_phantom(path, seed, shape):
+    raw, label = _make_phantom(seed, shape)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=raw)
+        f.create_dataset("label", data=label)
+
+
+@pytest.mark.slow
+def test_trained_instance_segmentation_meets_reference_gates(tmpdir):
+    from pytorch3dunet_tpu.datasets.utils import get_test_loaders
+    from pytorch3dunet_tpu.metrics import BoundaryAdaptedRandError, BoundaryAveragePrecision
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.predict import get_predictor
+    from pytorch3dunet_tpu.trainer import create_trainer
+    from pytorch3dunet_tpu.utils.checkpoint import load_checkpoint
+
+    np.random.seed(0)
+    base = str(tmpdir)
+    _write_phantom(os.path.join(base, "train.h5"), 0, (48, 96, 96))
+    _write_phantom(os.path.join(base, "val.h5"), 1, (48, 96, 96))
+    # held-out eval volume is larger: the CC-reconstruction erodes a shell off
+    # every cell, so cell size sets the metric ceiling (see module docstring)
+    _write_phantom(os.path.join(base, "test.h5"), 2, (64, 128, 128))
+
+    slice_cfg = {"name": "SliceBuilder", "patch_shape": [16, 32, 32],
+                 "stride_shape": [8, 16, 16], "skip_shape_check": True}
+    tf_train = {
+        "raw": [{"name": "Standardize"}, {"name": "RandomFlip"},
+                {"name": "ToTensor", "expand_dims": True}],
+        "label": [{"name": "RandomFlip"}, {"name": "StandardLabelToBoundary"},
+                  {"name": "ToTensor", "expand_dims": False}],
+    }
+    tf_val = {
+        "raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}],
+        "label": [{"name": "StandardLabelToBoundary"}, {"name": "ToTensor", "expand_dims": False}],
+    }
+    ckpt_dir = os.path.join(base, "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    config = {
+        "device": "cpu",
+        "model": {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 16,
+                  "num_groups": 8, "num_levels": 2, "layer_order": "gcr", "final_sigmoid": True},
+        "loss": {"name": "BCEDiceLoss"},
+        "eval_metric": {"name": "DiceCoefficient"},
+        "optimizer": {"learning_rate": 2e-3},
+        "lr_scheduler": {"name": "ReduceLROnPlateau", "mode": "max", "factor": 0.5, "patience": 20},
+        "trainer": {"checkpoint_dir": ckpt_dir, "validate_after_iters": 100,
+                    "log_after_iters": 100, "max_num_epochs": 50, "max_num_iterations": 300,
+                    "eval_score_higher_is_better": True},
+        "loaders": {"dataset": "StandardHDF5Dataset", "batch_size": 8, "num_workers": 1,
+                    "raw_internal_path": "raw", "label_internal_path": "label",
+                    "train": {"file_paths": [os.path.join(base, "train.h5")],
+                              "slice_builder": dict(slice_cfg), "transformer": tf_train},
+                    "val": {"file_paths": [os.path.join(base, "val.h5")],
+                            "slice_builder": dict(slice_cfg), "transformer": tf_val}},
+    }
+    trainer = create_trainer(config)
+    trainer.fit()
+    # the boundary detector must actually have converged, not merely run
+    assert trainer.best_eval_score > 0.8, f"val Dice {trainer.best_eval_score}"
+
+    pred_config = {
+        "device": "cpu",
+        "model": dict(config["model"]),
+        "model_path": os.path.join(ckpt_dir, "best_checkpoint.pytorch"),
+        "predictor": {"name": "StandardPredictor"},
+        "loaders": {"dataset": "StandardHDF5Dataset", "batch_size": 1, "num_workers": 1,
+                    "raw_internal_path": "raw", "output_dir": base,
+                    "test": {"file_paths": [os.path.join(base, "test.h5")],
+                             "slice_builder": {"name": "SliceBuilder",
+                                                "patch_shape": [32, 64, 64],
+                                                "stride_shape": [32, 64, 64],
+                                                "halo_shape": [8, 16, 16],
+                                                "skip_shape_check": True},
+                             "transformer": {"raw": [{"name": "Standardize"},
+                                                      {"name": "ToTensor", "expand_dims": True}]}}},
+    }
+    model = get_model(pred_config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+    state = load_checkpoint(pred_config["model_path"], variables)
+    predictor = get_predictor(model, state["model_state_dict"], pred_config)
+    for loader in get_test_loaders(pred_config):
+        predictor(loader)
+
+    with h5py.File(os.path.join(base, "test_predictions.h5"), "r") as f:
+        pred = f["predictions"][:]
+    with h5py.File(os.path.join(base, "test.h5"), "r") as f:
+        label = f["label"][:]
+
+    # the reference's golden thresholds (tests/test_criterion.py:104,120) on
+    # the segmentation reconstructed from OUR trained boundary map
+    ap = BoundaryAveragePrecision()(pred[None], label[None, None])
+    arand = BoundaryAdaptedRandError(use_last_target=True)(pred[None], label[None, None])
+    assert ap > 0.5, f"BoundaryAveragePrecision {ap} (measured headroom: trained run scored 0.78)"
+    assert arand < 0.2, f"BoundaryAdaptedRandError {arand} (measured headroom: trained run scored 0.13)"
