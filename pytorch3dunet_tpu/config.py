@@ -27,11 +27,21 @@ class Device(str, Enum):
 
     @classmethod
     def values(cls):
-        yield from (c.value for c in cls)
+        yield from (member.value for member in cls)
 
 
 # legacy device strings from reference configs are mapped to the auto-detected backend
 _LEGACY_DEVICES = ("cuda", "mps")
+
+# prediction-time override flags, same set as the reference CLI (config.py:74-79):
+# (dotted config path, element type, nargs)
+_CLI_OVERRIDES = (
+    ("model_path", str, None),
+    ("loaders.output_dir", str, None),
+    ("loaders.test.file_paths", str, "+"),
+    ("loaders.test.slice_builder.patch_shape", int, "+"),
+    ("loaders.test.slice_builder.stride_shape", int, "+"),
+)
 
 
 def default_device() -> Device:
@@ -48,9 +58,8 @@ def default_device() -> Device:
 
 def resolve_device(config_device) -> Device:
     if config_device is None:
-        logger.info("No device specified in config - determining best device automatically")
         device = default_device()
-        logger.info(f"Using device: {device}")
+        logger.info(f"Config has no 'device' key -- autodetected {device.value}")
         return device
     if isinstance(config_device, Device):
         return config_device
@@ -61,73 +70,53 @@ def resolve_device(config_device) -> Device:
     try:
         return Device(config_device)
     except ValueError as e:
-        raise ValueError(
-            f"Config key device: {config_device} not understood -- supported values: {', '.join(Device.values())}"
-        ) from e
+        supported = ", ".join(Device.values())
+        raise ValueError(f"Config key device: {config_device} not understood -- supported values: {supported}") from e
 
 
 def override_config(args, config):
-    """Overrides config params with the ones given on the command line.
+    """Writes non-None CLI values into the config dict.
 
     Mirrors reference semantics (unet3d/config.py:46-68): dotted keys descend
-    into nested dicts; unknown keys raise.
+    into nested dicts; unknown keys raise; a dotted path that ends on a dict
+    node is left untouched (the reference's own quirk).
     """
-    args_dict = vars(args)
-    args_dict.pop("config")
-
-    for key, value in args_dict.items():
-        if value is None:
-            continue
-        c = config
-        for k in key.split("."):
-            if k not in c:
-                raise ValueError(f"Invalid config key: {key}")
-            if isinstance(c[k], dict):
-                c = c[k]
+    overrides = {k: v for k, v in vars(args).items() if k != "config" and v is not None}
+    for dotted, value in overrides.items():
+        node = config
+        for part in dotted.split("."):
+            if part not in node:
+                raise ValueError(f"Invalid config key: {dotted}")
+            if isinstance(node[part], dict):
+                node = node[part]
             else:
-                c[k] = value
+                node[part] = value
 
 
 def load_config(argv=None) -> tuple[dict, str]:
     parser = argparse.ArgumentParser(description="UNet3D")
     parser.add_argument("--config", type=str, help="Path to the YAML config file", required=True)
-    # prediction-time overrides, same set as the reference CLI (config.py:74-79)
-    parser.add_argument("--model_path", type=str, required=False)
-    parser.add_argument("--loaders.output_dir", type=str, required=False)
-    parser.add_argument("--loaders.test.file_paths", type=str, nargs="+", required=False)
-    parser.add_argument("--loaders.test.slice_builder.patch_shape", type=int, nargs="+", required=False)
-    parser.add_argument("--loaders.test.slice_builder.stride_shape", type=int, nargs="+", required=False)
+    for dotted, typ, nargs in _CLI_OVERRIDES:
+        parser.add_argument(f"--{dotted}", type=typ, nargs=nargs, required=False)
 
     args = parser.parse_args(argv)
-    config_path = args.config
-    config = _load_config_yaml(config_path)
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
     override_config(args, config)
 
     config["device"] = resolve_device(config.get("device", None))
-
     if config["device"] == Device.CPU:
-        logger.warning("CPU mode will likely result in slow training/prediction")
+        logger.warning("Running on CPU: expect slow training/prediction")
 
-    return config, config_path
+    return config, args.config
 
 
 def copy_config(config: dict, config_path: str):
     """Copies the config file into the newest run directory under checkpoint_dir/logs."""
-
-    def _get_last_subfolder_path(path):
-        if not os.path.isdir(path):
-            return None
-        subfolders = [f.path for f in os.scandir(path) if f.is_dir()]
-        return max(subfolders, default=None)
-
-    checkpoint_dir = os.path.join(config["trainer"].pop("checkpoint_dir"), "logs")
-    last_run_dir = _get_last_subfolder_path(checkpoint_dir)
-    config_file_name = os.path.basename(config_path)
-
-    if last_run_dir:
-        shutil.copy2(config_path, os.path.join(last_run_dir, config_file_name))
-
-
-def _load_config_yaml(config_file):
-    with open(config_file) as f:
-        return yaml.safe_load(f)
+    logs_root = os.path.join(config["trainer"].pop("checkpoint_dir"), "logs")
+    if not os.path.isdir(logs_root):
+        return
+    run_dirs = [entry.path for entry in os.scandir(logs_root) if entry.is_dir()]
+    if run_dirs:
+        dest = os.path.join(max(run_dirs), os.path.basename(config_path))
+        shutil.copy2(config_path, dest)

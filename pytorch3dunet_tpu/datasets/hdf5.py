@@ -9,7 +9,6 @@ caching (StandardHDF5Dataset, :256-281) vs per-access file opens
 """
 
 from abc import abstractmethod
-from itertools import chain
 from pathlib import Path
 
 import h5py
@@ -27,26 +26,42 @@ from pytorch3dunet_tpu.utils import get_logger
 
 logger = get_logger("HDF5Dataset")
 
+# suffixes recognized when a config entry points at a directory of volumes
+H5_SUFFIXES = (".h5", ".hdf", ".hdf5", ".hd5")
 
-def _create_padded_indexes(indexes: tuple, halo_shape: tuple):
-    """Extends each slice stop by 2*halo — patch indices into the mirror-padded volume."""
-    if sum(halo_shape) == 0:
-        return indexes
-    return tuple(slice(index.start, index.stop + 2 * halo) for index, halo in zip(indexes, halo_shape))
+
+def _grow_by_halo(spatial_idx: tuple, halo_shape: tuple):
+    """Widens each spatial slice by 2*halo at the stop end — the same patch
+    addressed inside the mirror-padded volume (whose origin is shifted by
+    halo, so start stays put and stop grows by twice the halo)."""
+    if not any(halo_shape):
+        return spatial_idx
+    return tuple(slice(sl.start, sl.stop + 2 * h) for sl, h in zip(spatial_idx, halo_shape))
 
 
 def traverse_h5_paths(file_paths: list[str]) -> list[str]:
     """Expands directories into the H5 files they contain (non-recursive)."""
     assert isinstance(file_paths, list)
-    results = []
-    for file_path in file_paths:
-        file_path = Path(file_path)
-        if file_path.is_dir():
-            iters = [file_path.glob(ext) for ext in ["*.h5", "*.hdf", "*.hdf5", "*.hd5"]]
-            results.extend(str(fp) for fp in chain(*iters))
+    expanded = []
+    for entry in file_paths:
+        p = Path(entry)
+        if p.is_dir():
+            expanded.extend(str(child) for suffix in H5_SUFFIXES for child in p.glob(f"*{suffix}"))
         else:
-            results.append(str(file_path))
-    return results
+            expanded.append(str(p))
+    return expanded
+
+
+# config keys forwarded from the loader config into every dataset instance,
+# with their defaults (create_datasets + the subclass constructors share this
+# single source of truth instead of repeating a 9-parameter signature)
+_DATASET_DEFAULTS = {
+    "raw_internal_path": "raw",
+    "label_internal_path": "label",
+    "global_normalization": False,
+    "random_scale": None,
+    "random_scale_probability": 0.5,
+}
 
 
 class AbstractHDF5Dataset(ConfigDataset):
@@ -69,68 +84,77 @@ class AbstractHDF5Dataset(ConfigDataset):
     def __init__(self, file_path, phase, slice_builder_config, transformer_config,
                  raw_internal_path="raw", label_internal_path="label",
                  global_normalization=False, random_scale=None, random_scale_probability=0.5):
-        assert phase in ["train", "val", "test"]
-        logger.info(f"Creating {self.__class__.__name__} for {phase} phase from {file_path}")
+        assert phase in ("train", "val", "test"), f"unknown phase {phase!r}"
+        logger.info(f"{self.__class__.__name__}({phase}) <- {file_path}")
         self.phase = phase
         self.file_path = file_path
         self.raw_internal_path = raw_internal_path
         self.label_internal_path = label_internal_path
-
         self.halo_shape = tuple(slice_builder_config.get("halo_shape", [0, 0, 0]))
 
-        if global_normalization:
-            logger.info("Calculating mean and std of the raw data...")
-            with h5py.File(file_path, "r") as f:
-                raw_volume = f[raw_internal_path][:]
-            stats = calculate_stats(raw_volume)
-            # let the in-memory dataset adopt the already-loaded volume so
-            # preload()/first access doesn't re-read multi-GB data from disk
-            self._consume_stats_volume(raw_volume)
-        else:
-            stats = calculate_stats(None, True)
-
+        stats = self._normalization_stats(global_normalization)
         self.transformer = transforms.Transformer(transformer_config, stats)
         self.raw_transform = self.transformer.raw_transform()
-
-        if phase != "test":
-            self.label_transform = self.transformer.label_transform()
-        else:
+        if phase == "test":
             self.label = None
-            if self.halo_shape == (0, 0, 0):
+            if not any(self.halo_shape):
                 logger.warning(
-                    "Found halo shape to be (0, 0, 0). This might lead to checkerboard artifacts in the "
-                    "prediction. Consider using a non-zero halo shape, e.g. 'halo_shape: [8, 8, 8]' in "
-                    "the slice_builder configuration."
+                    "slice_builder.halo_shape is all-zero: patch seams may show as "
+                    "checkerboard artifacts in the stitched prediction (set e.g. "
+                    "'halo_shape: [8, 8, 8]')."
                 )
-
-        with h5py.File(file_path, "r") as f:
-            raw = f[raw_internal_path]
-            self.volume_shape = raw.shape if raw.ndim == 3 else raw.shape[1:]
-            label = f[label_internal_path] if phase != "test" else None
-            if label is not None:
-                label_spatial = label.shape if label.ndim == 3 else label.shape[1:]
-                assert label_spatial == self.volume_shape, "Raw and label shapes do not match"
-
-            logger.info(f"Volume shape: {self.volume_shape}. Creating slices...")
-            slice_builder_config = dict(slice_builder_config)
-            slice_builder_config["lazy_loader"] = self.is_lazy()
-            slice_builder = get_slice_builder(raw, label, slice_builder_config)
-            self.raw_slices = slice_builder.raw_slices
-            self.label_slices = slice_builder.label_slices
-
-        if random_scale is not None:
-            assert isinstance(random_scale, int), "random_scale must be an integer"
-            stride_shape = slice_builder_config.get("stride_shape")
-            assert all(random_scale < stride for stride in stride_shape), (
-                f"random_scale {random_scale} must be smaller than each of the strides {stride_shape}"
-            )
-            patch_shape = slice_builder_config.get("patch_shape")
-            self.random_scaler = RandomScaler(random_scale, patch_shape, self.volume_shape, random_scale_probability)
-            logger.info(f"Using RandomScaler with offset range {random_scale}")
         else:
-            self.random_scaler = None
+            self.label_transform = self.transformer.label_transform()
 
+        self._build_patch_grid(slice_builder_config)
+        self.random_scaler = self._make_random_scaler(
+            random_scale, random_scale_probability, slice_builder_config
+        )
         self.patch_count = len(self.raw_slices)
+
+    def _open(self, mode="r"):
+        return h5py.File(self.file_path, mode)
+
+    def _normalization_stats(self, global_normalization: bool):
+        if not global_normalization:
+            return calculate_stats(None, True)
+        logger.info("Computing global mean/std over the raw volume...")
+        with self._open() as f:
+            volume = f[self.raw_internal_path][:]
+        # offer the loaded volume to the subclass so an in-memory dataset
+        # doesn't re-read multi-GB data from disk on first access
+        self._consume_stats_volume(volume)
+        return calculate_stats(volume)
+
+    def _build_patch_grid(self, slice_builder_config: dict) -> None:
+        with self._open() as f:
+            raw = f[self.raw_internal_path]
+            self.volume_shape = raw.shape[-3:] if raw.ndim == 4 else raw.shape
+            label = None
+            if self.phase != "test":
+                label = f[self.label_internal_path]
+                label_spatial = label.shape[-3:] if label.ndim == 4 else label.shape
+                assert label_spatial == self.volume_shape, (
+                    f"label volume {label_spatial} does not match raw volume {self.volume_shape}"
+                )
+            logger.info(f"Volume {self.volume_shape}: building the patch grid")
+            sb_config = dict(slice_builder_config, lazy_loader=self.is_lazy())
+            grid = get_slice_builder(raw, label, sb_config)
+            self.raw_slices = grid.raw_slices
+            self.label_slices = grid.label_slices
+
+    def _make_random_scaler(self, random_scale, probability, slice_builder_config):
+        if random_scale is None:
+            return None
+        assert isinstance(random_scale, int), "random_scale must be an integer"
+        strides = slice_builder_config.get("stride_shape")
+        assert all(random_scale < s for s in strides), (
+            f"random_scale {random_scale} must stay below every stride in {strides}"
+        )
+        logger.info(f"RandomScaler active, offset range {random_scale}")
+        return RandomScaler(
+            random_scale, slice_builder_config.get("patch_shape"), self.volume_shape, probability
+        )
 
     def _consume_stats_volume(self, raw_volume: np.ndarray) -> None:
         """Hook: offered the raw volume loaded for normalization stats.
@@ -138,51 +162,46 @@ class AbstractHDF5Dataset(ConfigDataset):
 
     @abstractmethod
     def get_raw_patch(self, idx) -> np.ndarray:
-        raise NotImplementedError
+        ...
 
     @abstractmethod
     def get_label_patch(self, idx) -> np.ndarray:
-        raise NotImplementedError
+        ...
 
     @abstractmethod
     def get_raw_padded_patch(self, idx) -> np.ndarray:
-        raise NotImplementedError
+        ...
 
     @abstractmethod
     def is_lazy(self) -> bool:
-        raise NotImplementedError
+        ...
 
     def __getitem__(self, idx: int):
         if idx >= len(self):
             raise StopIteration
 
         raw_idx = self.raw_slices[idx]
-
         if self.phase == "test":
-            if len(raw_idx) == 4:
-                # predictor wants only spatial dims; keep the channel slice for the fetch
-                raw_idx = raw_idx[1:]
-                raw_idx_padded = (slice(None),) + _create_padded_indexes(raw_idx, self.halo_shape)
-            else:
-                raw_idx_padded = _create_padded_indexes(raw_idx, self.halo_shape)
-
-            padded_patch = self.get_raw_padded_patch(raw_idx_padded)
-            raw_patch_transformed = self.raw_transform(padded_patch)
-            # the predictor strips the halo and places the prediction at raw_idx
-            return raw_patch_transformed, raw_idx
+            return self._test_item(raw_idx)
 
         label_idx = self.label_slices[idx]
-        if self.random_scaler is not None:
-            raw_idx, label_idx = self.random_scaler.randomize_indices(raw_idx, label_idx)
+        if self.random_scaler is None:
+            raw = self.raw_transform(self.get_raw_patch(raw_idx))
+            return raw, self.label_transform(self.get_label_patch(label_idx))
+        raw_idx, label_idx = self.random_scaler.randomize_indices(raw_idx, label_idx)
+        raw = self.raw_transform(self.get_raw_patch(raw_idx))
+        label = self.label_transform(self.get_label_patch(label_idx))
+        return self.random_scaler.rescale_patches(raw, label)
 
-        raw_patch_transformed = self.raw_transform(self.get_raw_patch(raw_idx))
-        label_patch_transformed = self.label_transform(self.get_label_patch(label_idx))
-
-        if self.random_scaler is not None:
-            raw_patch_transformed, label_patch_transformed = self.random_scaler.rescale_patches(
-                raw_patch_transformed, label_patch_transformed
-            )
-        return raw_patch_transformed, label_patch_transformed
+    def _test_item(self, raw_idx):
+        if len(raw_idx) == 4:
+            # predictor wants only spatial dims; keep the channel slice for the fetch
+            raw_idx = raw_idx[1:]
+            padded_idx = (slice(None),) + _grow_by_halo(raw_idx, self.halo_shape)
+        else:
+            padded_idx = _grow_by_halo(raw_idx, self.halo_shape)
+        # the predictor strips the halo and places the prediction at raw_idx
+        return self.raw_transform(self.get_raw_padded_patch(padded_idx)), raw_idx
 
     def __len__(self) -> int:
         return self.patch_count
@@ -190,50 +209,36 @@ class AbstractHDF5Dataset(ConfigDataset):
     @classmethod
     def create_datasets(cls, dataset_config: dict, phase: str):
         phase_config = dataset_config[phase]
-        transformer_config = phase_config["transformer"]
-        slice_builder_config = phase_config["slice_builder"]
-        file_paths = traverse_h5_paths(phase_config["file_paths"])
-
-        for file_path in file_paths:
+        forwarded = {k: dataset_config.get(k, default) for k, default in _DATASET_DEFAULTS.items()}
+        for file_path in traverse_h5_paths(phase_config["file_paths"]):
             yield cls(
-                file_path=file_path,
-                phase=phase,
-                slice_builder_config=slice_builder_config,
-                transformer_config=transformer_config,
-                raw_internal_path=dataset_config.get("raw_internal_path", "raw"),
-                label_internal_path=dataset_config.get("label_internal_path", "label"),
-                global_normalization=dataset_config.get("global_normalization", False),
-                random_scale=dataset_config.get("random_scale", None),
-                random_scale_probability=dataset_config.get("random_scale_probability", 0.5),
+                file_path,
+                phase,
+                phase_config["slice_builder"],
+                phase_config["transformer"],
+                **forwarded,
             )
 
 
 class StandardHDF5Dataset(AbstractHDF5Dataset):
     """Loads the volumes into memory lazily on first access — fast, memory-hungry."""
 
-    def __init__(self, file_path, phase, slice_builder_config, transformer_config,
-                 raw_internal_path="raw", label_internal_path="label",
-                 global_normalization=False, random_scale=None, random_scale_probability=0.5):
-        # set BEFORE super().__init__: _consume_stats_volume fires inside it
+    def __init__(self, file_path, phase, slice_builder_config, transformer_config, **kwargs):
+        # caches must exist BEFORE super().__init__: _consume_stats_volume fires inside it
         self._raw = None
         self._raw_padded = None
         self._label = None
-        super().__init__(
-            file_path=file_path,
-            phase=phase,
-            slice_builder_config=slice_builder_config,
-            transformer_config=transformer_config,
-            raw_internal_path=raw_internal_path,
-            label_internal_path=label_internal_path,
-            global_normalization=global_normalization,
-            random_scale=random_scale,
-            random_scale_probability=random_scale_probability,
-        )
+        super().__init__(file_path, phase, slice_builder_config, transformer_config, **kwargs)
 
     def _consume_stats_volume(self, raw_volume: np.ndarray) -> None:
         # in-memory dataset: the volume read for stats IS the training data
         if self.phase in ("train", "val"):
             self._raw = raw_volume
+
+    def _read_volume(self, internal_path):
+        with self._open() as f:
+            assert internal_path in f, f"{self.file_path} has no dataset {internal_path!r}"
+            return f[internal_path][:]
 
     def preload(self):
         """Loads the volumes into memory NOW. The process-mode DataLoader
@@ -243,36 +248,30 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
         Test phase: the halo-padded volume is what workers read, so pad it
         here too (each worker padding its own copy would cost
         num_workers x padded-volume RAM and redundant full-volume reads)."""
-        with h5py.File(self.file_path, "r") as f:
-            if self.phase in ("train", "val"):
-                if self._raw is None:
-                    self._raw = f[self.raw_internal_path][:]
-                if self._label is None and self.label_internal_path is not None and self.label_internal_path in f:
-                    self._label = f[self.label_internal_path][:]
-            elif self._raw_padded is None:
-                self._raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
+        if self.phase in ("train", "val"):
+            if self._raw is None:
+                self._raw = self._read_volume(self.raw_internal_path)
+            if self._label is None and self.label_internal_path is not None:
+                with self._open() as f:
+                    present = self.label_internal_path in f
+                if present:
+                    self._label = self._read_volume(self.label_internal_path)
+        elif self._raw_padded is None:
+            self._raw_padded = mirror_pad(self._read_volume(self.raw_internal_path), self.halo_shape)
 
     def get_raw_patch(self, idx):
         if self._raw is None:
-            with h5py.File(self.file_path, "r") as f:
-                assert self.raw_internal_path in f, f"Dataset {self.raw_internal_path} not found in {self.file_path}"
-                self._raw = f[self.raw_internal_path][:]
+            self._raw = self._read_volume(self.raw_internal_path)
         return self._raw[idx]
 
     def get_label_patch(self, idx):
         if self._label is None:
-            with h5py.File(self.file_path, "r") as f:
-                assert self.label_internal_path in f, (
-                    f"Dataset {self.label_internal_path} not found in {self.file_path}"
-                )
-                self._label = f[self.label_internal_path][:]
+            self._label = self._read_volume(self.label_internal_path)
         return self._label[idx]
 
     def get_raw_padded_patch(self, idx):
         if self._raw_padded is None:
-            with h5py.File(self.file_path, "r") as f:
-                assert self.raw_internal_path in f, f"Dataset {self.raw_internal_path} not found in {self.file_path}"
-                self._raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
+            self._raw_padded = mirror_pad(self._read_volume(self.raw_internal_path), self.halo_shape)
         return self._raw_padded[idx]
 
     def is_lazy(self) -> bool:
@@ -282,28 +281,16 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
 class LazyHDF5Dataset(AbstractHDF5Dataset):
     """Reads every patch straight from the file — slow, low memory footprint."""
 
-    def __init__(self, file_path, phase, slice_builder_config, transformer_config,
-                 raw_internal_path="raw", label_internal_path="label",
-                 global_normalization=False, random_scale=None, random_scale_probability=0.5):
-        super().__init__(
-            file_path=file_path,
-            phase=phase,
-            slice_builder_config=slice_builder_config,
-            transformer_config=transformer_config,
-            raw_internal_path=raw_internal_path,
-            label_internal_path=label_internal_path,
-            global_normalization=global_normalization,
-            random_scale=random_scale,
-            random_scale_probability=random_scale_probability,
-        )
-        logger.info("Using LazyHDF5Dataset")
+    def __init__(self, file_path, phase, slice_builder_config, transformer_config, **kwargs):
+        super().__init__(file_path, phase, slice_builder_config, transformer_config, **kwargs)
+        logger.info("Lazy mode: patches are read from disk on every access")
 
     def get_raw_patch(self, idx):
-        with h5py.File(self.file_path, "r") as f:
+        with self._open() as f:
             return f[self.raw_internal_path][idx]
 
     def get_label_patch(self, idx):
-        with h5py.File(self.file_path, "r") as f:
+        with self._open() as f:
             return f[self.label_internal_path][idx]
 
     def preload(self):
@@ -315,7 +302,7 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
         rather than each building num_workers x padded-volume copies."""
         if self.phase == "test" and not self._ensure_raw_padded():
             if getattr(self, "_raw_padded_mem", None) is None:
-                with h5py.File(self.file_path, "r") as f:
+                with self._open() as f:
                     self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
 
     def _expected_padded_shape(self, raw_shape) -> tuple:
@@ -327,18 +314,18 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
         cache from a run with a DIFFERENT halo shape is detected by its shape
         and rebuilt — reusing it would misalign every border patch."""
         try:
-            with h5py.File(self.file_path, "a") as f:
+            with self._open("a") as f:
                 expected = self._expected_padded_shape(f[self.raw_internal_path].shape)
                 if "raw_padded" in f and tuple(f["raw_padded"].shape[-3:]) != expected:
                     logger.warning(
-                        f"'raw_padded' cache in {self.file_path} has shape {f['raw_padded'].shape}, "
-                        f"expected {expected} for halo {self.halo_shape}: rebuilding"
+                        f"stale 'raw_padded' cache in {self.file_path}: shape "
+                        f"{f['raw_padded'].shape} but halo {self.halo_shape} needs {expected} — rebuilding"
                     )
                     del f["raw_padded"]
                 if "raw_padded" not in f:
-                    logger.info(f"Creating 'raw_padded' dataset in {self.file_path}")
-                    raw_padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
-                    f.create_dataset("raw_padded", data=raw_padded, compression="gzip")
+                    logger.info(f"Caching the mirror-padded volume as 'raw_padded' in {self.file_path}")
+                    padded = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
+                    f.create_dataset("raw_padded", data=padded, compression="gzip")
             return True
         except OSError:
             return False
@@ -349,15 +336,16 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
         # failed write-open + exception per patch in the hot path
         if getattr(self, "_raw_padded_mem", None) is not None:
             return self._raw_padded_mem[idx]
-        with h5py.File(self.file_path, "r") as f:
-            if "raw_padded" in f and tuple(f["raw_padded"].shape[-3:]) == \
+        with self._open() as f:
+            cache = f.get("raw_padded")
+            if cache is not None and tuple(cache.shape[-3:]) == \
                     self._expected_padded_shape(f[self.raw_internal_path].shape):
-                return f["raw_padded"][idx]
+                return cache[idx]
         if self._ensure_raw_padded():
-            with h5py.File(self.file_path, "r") as f:
+            with self._open() as f:
                 return f["raw_padded"][idx]
         # read-only file and no preload: build the in-memory padded copy now
-        with h5py.File(self.file_path, "r") as f:
+        with self._open() as f:
             self._raw_padded_mem = mirror_pad(f[self.raw_internal_path][:], self.halo_shape)
         return self._raw_padded_mem[idx]
 
