@@ -281,6 +281,20 @@ def _plan_slab_grid(spatial, patch_shape, halo_shape, cin, budget, min_slab_z=64
     return (slab_z, h, w), starts
 
 
+def _plan_plane_grid(spatial, halo_shape, cin, budget, patch_batch):
+    """2D arm of `patch_mode: slab`: full-plane singleton-z patches replace
+    the xy tile grid — no tile borders, no redundant halo compute, and
+    GroupNorm statistics see the whole plane (the reference's whole-image 2D
+    semantics). `patch_batch` planes ride one forward, so the budget bounds
+    patch_batch * padded plane. Returns ((1, H, W), starts) or None."""
+    d, h, w = (int(s) for s in spatial)
+    _, hy, hx = halo_shape
+    if (h + 2 * hy) * (w + 2 * hx) * cin * max(1, patch_batch) > int(budget):
+        return None
+    starts = np.asarray([(z, 0, 0) for z in range(d)], dtype=np.int32)
+    return (1, h, w), starts
+
+
 class DeviceSlidingWindowPredictor(StandardPredictor):
     """Sliding-window prediction with the patch sweep running on device.
 
@@ -311,13 +325,15 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             unchanged (reference-exact patch independence). 'slab' coalesces
             the grid into full-xy z-slabs as deep as `max_patch_voxels`
             allows: interior patch seams disappear entirely and the halo's
-            redundant compute is paid only along z (measured 45 -> 67 Mvox/s
+            redundant compute is paid only along z (measured 45 -> 77 Mvox/s
             on the canonical geometry, BENCH_NOTES r4). The configured halo
             keeps its role as mirror-pad context at the volume faces and at
             slab boundaries. Outputs differ from 'grid' near former interior
-            seams (each grid patch was predicted independently there); 3D
-            models only. Falls back to the grid with a warning when the xy
-            plane is too large for a worthwhile slab.
+            seams (each grid patch was predicted independently there). For 2D
+            models the slabs are full-plane singleton-z patches (no tile
+            borders; GroupNorm sees the whole plane — the reference's
+            whole-image 2D semantics). Falls back to the grid with a warning
+            when the plane is too large for a worthwhile slab.
         max_patch_voxels: padded-voxel budget for one slab forward in
             'slab' mode. The default 2**24 is conservative for f_maps=32
             bf16 on a 16 GB v5e; measured there: a 27.8M-voxel slab
@@ -420,7 +436,19 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
             if self.patch_mode == "slab":
                 if is_model_2d(self.model):
-                    logger.warning("patch_mode 'slab' applies to 3D models only; keeping the 2D grid")
+                    pb = self.patch_batch if self.patch_batch is not None else 16
+                    plan = _plan_plane_grid(spatial, dataset.halo_shape, cin, self.max_patch_voxels, pb)
+                    if plan is None:
+                        logger.warning(
+                            f"patch_mode 'slab': {spatial[1]}x{spatial[2]} planes x patch_batch={pb} "
+                            f"exceed max_patch_voxels={self.max_patch_voxels}; keeping the configured grid"
+                        )
+                    else:
+                        patch_shape, starts = plan
+                        logger.info(
+                            f"patch_mode 'slab': {len(starts)} full-plane 2D patches replace the "
+                            f"{len(dataset.raw_slices)}-tile grid"
+                        )
                 else:
                     plan = _plan_slab_grid(spatial, patch_shape, dataset.halo_shape, cin, self.max_patch_voxels)
                     if plan is None:

@@ -474,3 +474,30 @@ def test_slab_mode_overlapping_tail_and_streaming(tmpdir, blend):
     config["loaders"]["test"]["slice_builder"]["stride_shape"] = [16, 16, 16]
     explicit = _predict(config, model, variables)
     np.testing.assert_allclose(slab, explicit, atol=2e-5)
+
+
+def test_slab_mode_2d_full_plane(tmpdir):
+    # 2D arm of patch_mode 'slab': full-plane singleton-z patches must equal
+    # the explicit full-plane tile config; tiny budgets keep the tile grid
+    config = _make_config(tmpdir, shape=(6, 48, 48), halo=(0, 8, 8))
+    config["model"] = {"name": "UNet2D", "in_channels": 1, "out_channels": 2,
+                       "layer_order": "gcr", "f_maps": 8, "num_groups": 4,
+                       "num_levels": 2, "final_sigmoid": False}
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [1, 24, 24]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [1, 24, 24]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab",
+                           "patch_batch": 2}
+    slab = _predict(config, model, variables)
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_batch": 2}
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [1, 48, 48]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [1, 48, 48]
+    explicit = _predict(config, model, variables)
+    np.testing.assert_allclose(slab, explicit, atol=1e-6)
+
+    # over-budget plane: plan refuses, the configured grid sweeps unchanged
+    from pytorch3dunet_tpu.predictor import _plan_plane_grid
+    assert _plan_plane_grid((6, 48, 48), (0, 8, 8), 1, budget=1000, patch_batch=2) is None
