@@ -451,11 +451,22 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                         )
                 else:
                     plan = _plan_slab_grid(spatial, patch_shape, dataset.halo_shape, cin, self.max_patch_voxels)
+                    n_dev = len(jax.local_devices()) if self._mesh_active() else 1
                     if plan is None:
                         logger.warning(
                             f"patch_mode 'slab': the {spatial[1]}x{spatial[2]} plane is too large for a "
                             f"worthwhile full-plane slab under max_patch_voxels={self.max_patch_voxels}; "
                             "keeping the configured patch grid"
+                        )
+                    elif len(plan[1]) < n_dev <= len(starts):
+                        # a sharded mesh splits the grid across chips: fewer
+                        # slabs than devices would idle chips, and the halo
+                        # redundancy a slab saves (<2x) never beats the
+                        # device count the grid keeps busy
+                        logger.info(
+                            f"patch_mode 'slab': {len(plan[1])} slabs would idle "
+                            f"{n_dev - len(plan[1])} of {n_dev} devices; keeping the "
+                            f"{len(starts)}-patch grid (set 'shard: false' to prefer slabs)"
                         )
                     else:
                         patch_shape, starts = plan

@@ -437,15 +437,34 @@ def test_slab_mode_matches_explicit_big_patch(tmpdir):
     model = get_model(config["model"])
     variables = model.init(jax.random.PRNGKey(0))
 
-    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab"}
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab", "shard": False}
     slab = _predict(config, model, variables)
 
-    config["predictor"] = {"name": "DeviceSlidingWindowPredictor"}
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False}
     config["loaders"]["test"]["slice_builder"]["patch_shape"] = [24, 72, 72]
     config["loaders"]["test"]["slice_builder"]["stride_shape"] = [24, 72, 72]
     explicit = _predict(config, model, variables)
 
     np.testing.assert_allclose(slab, explicit, atol=1e-6)
+
+
+def test_slab_mode_yields_to_mesh_utilization(tmpdir, caplog):
+    # on a sharded mesh, fewer slabs than devices would idle chips: the
+    # planner keeps the grid (and says so); the output is the plain grid's
+    import logging
+
+    config = _make_config(tmpdir)  # 27-patch grid, 8 virtual devices
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab"}
+    with caplog.at_level(logging.INFO):
+        slab_sharded = _predict(config, model, variables)
+    assert any("would idle" in r.message for r in caplog.records)
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor"}
+    grid = _predict(config, model, variables)
+    np.testing.assert_allclose(slab_sharded, grid, atol=1e-6)
 
 
 @pytest.mark.parametrize("blend", ["assign", "gaussian"])
