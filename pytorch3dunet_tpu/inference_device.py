@@ -19,6 +19,14 @@ from the replicated source volume, so no halo exchange is needed) and the
 partial volumes are merged with one `psum` over ICI. This replaces the
 reference's `nn.DataParallel` inference wrap (predict.py:63-67) with SPMD.
 
+Alternatively `spatial_mesh` shards every PATCH's z-axis across the mesh
+(cooperative inference): the model runs with halo-exchanged convolutions and
+psum'd GroupNorm statistics — the training spatial-parallelism machinery from
+parallel/spatial.py — so even a grid with fewer patches than devices (e.g.
+`patch_mode: slab` full-volume slabs) keeps every chip busy. Results are
+bit-compatible with the unsharded sweep (the sharded model computes the same
+function; see tests/test_spatial_inference.py).
+
 Normalization: the common test-transformer pipelines are applied on device —
 `Standardize` with volume stats (global_normalization) or per-patch stats,
 min-max `Normalize`, and per-patch `PercentileNormalizer`; exotic pipelines
@@ -69,10 +77,15 @@ class DeviceSlidingWindow:
             augmentation; every flip combination of these axes is forwarded
             and the probabilities averaged INSIDE the jitted sweep (so the
             ensemble adds compute but no dispatches). Empty = off.
+        spatial_mesh: optional single-axis jax Mesh; every patch's z-axis is
+            sharded across it and the model runs spatially-parallel (halo
+            exchange + psum'd norm stats). Mutually exclusive with `mesh`;
+            the padded patch depth must be exactly shardable through the
+            model's pooling pyramid (parallel.spatial.spatial_shardable).
     """
 
     def __init__(self, model, patch_shape, halo_shape, normalize=None, stats=None, blend="assign", mesh=None,
-                 weighted=None, patch_batch=1, tta_axes=()):
+                 weighted=None, patch_batch=1, tta_axes=(), spatial_mesh=None):
         from pytorch3dunet_tpu.models import is_model_2d
 
         self.model = model
@@ -108,6 +121,32 @@ class DeviceSlidingWindow:
         # later (volume chunking); pure assignment matches the reference's
         # write-wins stitching exactly
         self.weighted = (blend == "gaussian") if weighted is None else weighted
+        # cooperative spatial sharding (slab x mesh): EVERY patch's z-axis is
+        # split across the 'space' mesh axis and the model runs with
+        # halo-exchanged convs + psum'd GroupNorm (parallel/spatial.py — the
+        # training machinery, reused for inference). All chips cooperate on
+        # each patch, so even a single whole-volume slab keeps a mesh busy.
+        self.spatial_mesh = spatial_mesh if (spatial_mesh is not None and spatial_mesh.devices.size > 1) else None
+        if self.spatial_mesh is not None:
+            from pytorch3dunet_tpu.parallel.spatial import (
+                spatial_min_local, spatial_pool_d, spatial_shardable, validate_spatial_model,
+            )
+
+            assert self.mesh is None, "spatial_mesh and (grid) mesh are mutually exclusive"
+            assert not self.is_2d, "spatial slab sharding is for 3D models"
+            assert self.patch_batch == 1, "spatial sharding sweeps one (large) patch per step"
+            assert self.normalize != "percentile", (
+                "percentile normalization has no cross-shard reduction; use the grid sweep")
+            assert not any(1 in c for c in self.tta_combos), (
+                "z-mirror TTA cannot flip across spatial shards; restrict tta_axes to (1, 2)")
+            validate_spatial_model(model)
+            pz = self.patch_shape[0] + 2 * self.halo_shape[0]
+            n = self.spatial_mesh.devices.size
+            assert spatial_shardable(pz, len(model.f_maps), n, pool=spatial_pool_d(model),
+                                     min_local=spatial_min_local(model)), (
+                f"padded patch depth {pz} is not exactly shardable {n} ways through "
+                f"{len(model.f_maps)} pooling levels")
+            self.weighted = True
 
     def _stats_pytree(self, stats=None):
         """Stats as traced fp32 scalars: per-volume values (e.g. from
@@ -138,6 +177,24 @@ class DeviceSlidingWindow:
             hi = jnp.percentile(patch, stats["pmax"])
             return (patch - lo) / (hi - lo + 1e-10)
         return patch
+
+    def _normalize_chunk_psum(self, chunk, stats, axis, patch_elems):
+        """Per-patch normalization for a z-shard of the patch: the statistics
+        reduce over the WHOLE patch (psum across the spatial shards), so each
+        shard normalizes exactly like the unsharded sweep."""
+        if self.normalize == "standardize":
+            return (chunk - stats["mean"]) / jnp.clip(stats["std"], 1e-10)
+        if self.normalize == "standardize_patch":
+            s1 = jax.lax.psum(jnp.sum(chunk), axis)
+            s2 = jax.lax.psum(jnp.sum(jnp.square(chunk)), axis)
+            mean = s1 / patch_elems
+            std = jnp.sqrt(jnp.maximum(s2 / patch_elems - jnp.square(mean), 0.0))
+            return (chunk - mean) / jnp.clip(std, 1e-10)
+        if self.normalize == "normalize":
+            lo = jax.lax.pmin(jnp.min(chunk), axis)
+            hi = jax.lax.pmax(jnp.max(chunk), axis)
+            return jnp.clip(2 * (chunk - lo) / (hi - lo + 1e-10) - 1, -1, 1)
+        return chunk
 
     def _patch_sizes(self, padded_volume):
         hz, hy, hx = self.halo_shape
@@ -270,6 +327,68 @@ class DeviceSlidingWindow:
             out_specs=(P(), P()),
         )(variables, padded_volume, starts, stats)
 
+    @partial(jax.jit, static_argnums=(0,))
+    def _sweep_spatial(self, variables, padded_volume, starts, stats):
+        """Cooperatively-sharded sweep: all devices run EACH patch together.
+
+        Per patch, every shard slices its z-chunk of the haloed patch from the
+        replicated volume, per-patch normalization statistics psum over the
+        shards (so they see the whole patch), and the model applies with the
+        spatial axis active — ops/conv.py exchanges boundary planes over ICI
+        and GroupNorm psums its moments, computing exactly the unsharded
+        function. The (out_channels-thin) probabilities are all-gathered and
+        every shard stitches the identical full core, so the accumulators stay
+        replicated without a final psum.
+        """
+        from pytorch3dunet_tpu.parallel.spatial import spatial_axis
+
+        axis = self.spatial_mesh.axis_names[0]
+        n = self.spatial_mesh.devices.size
+
+        def shard_fn(variables, vol, starts, stats):
+            (pz, py, px), cin = self._patch_sizes(vol)
+            dz = pz // n
+            hz, hy, hx = self.halo_shape
+            cz, cy, cx = self.patch_shape
+            cout = self.model.out_channels
+            out_spatial = tuple(s - 2 * h for s, h in zip(vol.shape[:3], self.halo_shape))
+            out = jnp.zeros((*out_spatial, cout), dtype=jnp.float32)
+            window = _gaussian_window(self.patch_shape) if self.blend == "gaussian" else None
+            weights = jnp.zeros(out_spatial, dtype=jnp.float32)
+            idx = jax.lax.axis_index(axis)
+            patch_elems = pz * py * px * cin
+
+            def apply(x):
+                with spatial_axis(axis):
+                    return self._apply_model(variables, x)
+
+            def body(i, carry):
+                out, weights = carry
+                s = starts[i]
+                chunk = jax.lax.dynamic_slice(
+                    vol, (s[0] + idx * dz, s[1], s[2], 0), (dz, py, px, cin))
+                chunk = self._normalize_chunk_psum(chunk, stats, axis, patch_elems)
+                probs = apply(chunk[None])
+                full = jax.lax.all_gather(probs[0], axis, axis=0, tiled=True)
+                core = full[hz : hz + cz, hy : hy + cy, hx : hx + cx, :].astype(jnp.float32)
+                win = window if window is not None else jnp.ones(self.patch_shape, jnp.float32)
+                prev_w = jax.lax.dynamic_slice(weights, (s[0], s[1], s[2]), self.patch_shape)
+                prev = jax.lax.dynamic_slice(out, (s[0], s[1], s[2], 0), (*self.patch_shape, cout))
+                out = jax.lax.dynamic_update_slice(
+                    out, prev + core * win[..., None], (s[0], s[1], s[2], 0))
+                weights = jax.lax.dynamic_update_slice(weights, prev_w + win, (s[0], s[1], s[2]))
+                return out, weights
+
+            return jax.lax.fori_loop(0, starts.shape[0], body, (out, weights))
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.spatial_mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(variables, padded_volume, starts, stats)
+
     def sweep_raw(self, variables, padded_volume, starts: np.ndarray, stats=None):
         """One device dispatch over `starts`; returns numpy (out, weights|None)
         UNDIVIDED, so callers can accumulate partial sweeps (volume chunking).
@@ -290,6 +409,8 @@ class DeviceSlidingWindow:
             if pad:
                 starts = np.concatenate([starts, np.full((pad, 3), -1, np.int32)])
             out, weights = self._sweep_sharded(variables, padded_volume, jnp.asarray(starts, jnp.int32), stats_t)
+        elif self.spatial_mesh is not None:
+            out, weights = self._sweep_spatial(variables, padded_volume, jnp.asarray(starts, jnp.int32), stats_t)
         else:
             pad = (-len(starts)) % self.patch_batch
             if pad:

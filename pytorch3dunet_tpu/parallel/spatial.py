@@ -69,8 +69,8 @@ def spatial_shardable(patch_d: int, num_levels: int, n_shards: int, pool: int = 
     return True
 
 
-def space_mesh(n_devices: int | None = None) -> Mesh:
-    devices = jax.devices()
+def space_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = list(jax.devices() if devices is None else devices)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (SPACE_AXIS,))

@@ -274,11 +274,15 @@ def _plan_slab_grid(spatial, patch_shape, halo_shape, cin, budget, min_slab_z=64
     slab_z = min(d, int(budget) // plane - 2 * hz)
     if slab_z < d and slab_z < max(min_slab_z, patch_shape[0]):
         return None
+    return (slab_z, h, w), _slab_starts(d, slab_z)
+
+
+def _slab_starts(d, slab_z):
+    """SliceBuilder-style z coverage: stride == slab, tail shifted flush."""
     zs = list(range(0, d - slab_z + 1, slab_z))
     if zs[-1] + slab_z < d:
         zs.append(d - slab_z)
-    starts = np.asarray([(z, 0, 0) for z in zs], dtype=np.int32)
-    return (slab_z, h, w), starts
+    return np.asarray([(z, 0, 0) for z in zs], dtype=np.int32)
 
 
 def _plan_plane_grid(spatial, halo_shape, cin, budget, patch_batch):
@@ -333,7 +337,12 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             models the slabs are full-plane singleton-z patches (no tile
             borders; GroupNorm sees the whole plane — the reference's
             whole-image 2D semantics). Falls back to the grid with a warning
-            when the plane is too large for a worthwhile slab.
+            when the plane is too large for a worthwhile slab. On a mesh
+            with more devices than slabs, each slab's z-axis is sharded
+            across ALL devices cooperatively (halo-exchanged convs + psum'd
+            GroupNorm, parallel/spatial.py) when the model family allows it,
+            so the slab geometry no longer idles chips; otherwise the
+            grid-over-mesh split is kept.
         max_patch_voxels: padded-voxel budget for one slab forward in
             'slab' mode. The default 2**24 is conservative for f_maps=32
             bf16 on a 16 GB v5e; measured there: a 27.8M-voxel slab
@@ -361,36 +370,79 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         # one collective program (deadlock/garbage)
         return self.shard and len(jax.local_devices()) > 1
 
-    def _get_sweep(self, patch_shape, halo_shape, normalize, stats, weighted):
+    def _get_sweep(self, patch_shape, halo_shape, normalize, stats, weighted, spatial_n=0):
         from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
         from pytorch3dunet_tpu.parallel import data_mesh
+        from pytorch3dunet_tpu.parallel.spatial import space_mesh
 
-        mesh = data_mesh(jax.local_devices()) if self._mesh_active() else None
+        spatial_mesh = space_mesh(spatial_n, devices=jax.local_devices()) if spatial_n > 1 else None
+        mesh = data_mesh(jax.local_devices()) if (spatial_mesh is None and self._mesh_active()) else None
         patch_batch = self.patch_batch
         if patch_batch is None:
             patch_batch = 16 if is_model_2d(self.model) else 1
+        if spatial_mesh is not None:
+            patch_batch = 1
         # resolve the weighted tri-state BEFORE keying: weighted=None means
         # "blend decides", and mesh sweeps are always weighted — otherwise a
         # run mixing in-memory and streamed volumes would compile the same
         # sweep twice (a multi-minute cost over the tunneled TPU)
         if weighted is None:
             weighted = self.blend == "gaussian"
-        if mesh is not None:
+        if mesh is not None or spatial_mesh is not None:
             weighted = True
         # the key is purely structural: per-volume stats (global_normalization
         # mean/std) enter the jitted sweep as traced arguments, so every
         # volume reuses ONE compiled program (callers pass stats per call)
         tta_axes = self._tta_patch_axes()
-        key = (patch_shape, halo_shape, normalize, self.blend, weighted, patch_batch, tta_axes, mesh is not None)
+        key = (patch_shape, halo_shape, normalize, self.blend, weighted, patch_batch, tta_axes,
+               mesh is not None, spatial_n)
         if key not in self._sweeps:
             if mesh is not None:
                 logger.info(f"Sharding the patch grid over {mesh.devices.size} devices")
+            if spatial_mesh is not None:
+                logger.info(f"Sharding each patch's z-axis over {spatial_n} devices (cooperative)")
             self._sweeps[key] = DeviceSlidingWindow(
                 self.model, patch_shape, halo_shape, normalize=normalize, stats=stats,
                 blend=self.blend, mesh=mesh, weighted=weighted, patch_batch=patch_batch,
-                tta_axes=tta_axes,
+                tta_axes=tta_axes, spatial_mesh=spatial_mesh,
             )
         return self._sweeps[key]
+
+    def _plan_spatial_slab(self, spatial, max_slab_z, grid_patch_shape, halo_shape, normalize,
+                           min_slab_z=64):
+        """Cooperative arm of `patch_mode: slab` for meshes with more devices
+        than slabs: instead of falling back to the patch grid, shard every
+        slab's z-axis across ALL local devices (halo-exchanged convs + psum'd
+        GroupNorm, parallel/spatial.py) so the slab geometry's halo savings
+        and full mesh utilization compose.
+
+        Searches downward from `max_slab_z` for the largest slab depth whose
+        PADDED depth stays exactly shardable n_dev ways through the model's
+        pooling pyramid. Returns (n_dev, (slab_patch_shape, starts)), or
+        (0, None) when no such depth >= the thin-slab floor exists or the
+        model/pipeline can't spatially shard (BatchNorm, anisotropic deconv,
+        percentile normalization, z-mirror TTA)."""
+        from pytorch3dunet_tpu.parallel.spatial import (
+            spatial_min_local, spatial_pool_d, spatial_shardable, validate_spatial_model,
+        )
+
+        if normalize == "percentile" or 0 in self._tta_patch_axes():
+            return 0, None
+        try:
+            validate_spatial_model(self.model)
+        except AssertionError as e:
+            logger.info(f"slab z-sharding unavailable for this model: {e}")
+            return 0, None
+        n = len(jax.local_devices())
+        d, h, w = (int(s) for s in spatial)
+        hz = halo_shape[0]
+        pool, min_local = spatial_pool_d(self.model), spatial_min_local(self.model)
+        levels = len(self.model.f_maps)
+        floor = max(min_slab_z, grid_patch_shape[0])
+        for slab_z in range(min(max_slab_z, d), floor - 1, -1):
+            if spatial_shardable(slab_z + 2 * hz, levels, n, pool=pool, min_local=min_local):
+                return n, ((slab_z, h, w), _slab_starts(d, slab_z))
+        return 0, None
 
     def __call__(self, test_loader):
         from pytorch3dunet_tpu.datasets.utils import mirror_pad
@@ -433,6 +485,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             channels_first = raw_dset.ndim == 4
             spatial = raw_dset.shape[1:] if channels_first else raw_dset.shape
             cin = raw_dset.shape[0] if channels_first else 1
+            spatial_n = 0  # >1: cooperative z-sharding of each patch (slab mode)
 
             if self.patch_mode == "slab":
                 if is_model_2d(self.model):
@@ -458,16 +511,40 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                             f"worthwhile full-plane slab under max_patch_voxels={self.max_patch_voxels}; "
                             "keeping the configured patch grid"
                         )
-                    elif len(plan[1]) < n_dev <= len(starts):
-                        # a sharded mesh splits the grid across chips: fewer
-                        # slabs than devices would idle chips, and the halo
-                        # redundancy a slab saves (<2x) never beats the
-                        # device count the grid keeps busy
-                        logger.info(
-                            f"patch_mode 'slab': {len(plan[1])} slabs would idle "
-                            f"{n_dev - len(plan[1])} of {n_dev} devices; keeping the "
-                            f"{len(starts)}-patch grid (set 'shard: false' to prefer slabs)"
-                        )
+                    elif len(plan[1]) < n_dev:
+                        # fewer slabs than chips: first try COOPERATIVE
+                        # sharding — every slab's z-axis splits across the
+                        # mesh (halo-exchanged convs + psum'd GroupNorm,
+                        # parallel/spatial.py), so the slab geometry's halo
+                        # savings AND full mesh utilization compose
+                        spatial_n, sp_plan = self._plan_spatial_slab(
+                            spatial, plan[0][0], patch_shape, dataset.halo_shape, normalize)
+                        if spatial_n == n_dev:
+                            patch_shape, starts = sp_plan
+                            logger.info(
+                                f"patch_mode 'slab': {len(starts)} z-slab(s) of depth {patch_shape[0]}, "
+                                f"each z-sharded over all {spatial_n} devices cooperatively"
+                            )
+                        elif n_dev <= len(starts):
+                            # a partially-idle spatial mesh loses to the grid
+                            # split across ALL chips; keep the grid
+                            spatial_n = 0
+                            logger.info(
+                                f"patch_mode 'slab': {len(plan[1])} slabs would idle "
+                                f"{n_dev - len(plan[1])} of {n_dev} devices and no slab depth is "
+                                f"z-shardable {n_dev} ways; keeping the "
+                                f"{len(starts)}-patch grid (set 'shard: false' to prefer slabs)"
+                            )
+                        else:
+                            # the configured grid is ALSO smaller than the
+                            # mesh — slabs at least save halo redundancy
+                            spatial_n = 0
+                            patch_shape, starts = plan
+                            logger.info(
+                                f"patch_mode 'slab': {len(starts)} z-slab(s) of depth "
+                                f"{patch_shape[0]} (grid and slabs both underfill the "
+                                f"{n_dev}-device mesh; z-sharding unavailable)"
+                            )
                     else:
                         patch_shape, starts = plan
                         logger.info(
@@ -497,7 +574,8 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                 # counterpart of the reference's Lazy dataset + LazyPredictor
                 # pairing, hdf5.py:284-335 + unet3d/predictor.py:228-274)
                 return self._streamed_predict(
-                    dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, start
+                    dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, start,
+                    spatial_n=spatial_n,
                 )
 
             raw = raw_dset[:]
@@ -506,7 +584,8 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         padded = mirror_pad(np.asarray(raw, dtype=np.float32), dataset.halo_shape) if raw.ndim == 3 else \
             np.stack([mirror_pad(raw[..., c], dataset.halo_shape) for c in range(raw.shape[-1])], axis=-1)
 
-        sweep = self._get_sweep(patch_shape, dataset.halo_shape, normalize, stats, weighted=None)
+        sweep = self._get_sweep(patch_shape, dataset.halo_shape, normalize, stats, weighted=None,
+                                spatial_n=spatial_n)
         stitched = sweep(self.variables, padded, starts, stats=stats)  # (D, H, W, Cout)
         prediction_array = np.moveaxis(stitched, -1, 0)  # (Cout, D, H, W)
 
@@ -526,7 +605,8 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             return self._evaluate(prediction_array, dataset)
         return None
 
-    def _streamed_predict(self, dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, t_start):
+    def _streamed_predict(self, dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, t_start,
+                          spatial_n=0):
         """Z-slab streaming path for volumes over the device budget: input
         slabs are read from the open H5 dataset (never the whole volume), and
         finalized output planes are written straight into a chunked gzip H5
@@ -554,14 +634,15 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                         arr = arr[self.prediction_channel : self.prediction_channel + 1]
                     dset[:, z : z + planes.shape[0]] = arr
 
-            self._chunked_sweep(raw_dset, starts, patch_shape, dataset.halo_shape, normalize, stats, consume)
+            self._chunked_sweep(raw_dset, starts, patch_shape, dataset.halo_shape, normalize, stats, consume,
+                                spatial_n=spatial_n)
             logger.info(f"Finished device inference in {time.perf_counter() - t_start:.2f} seconds")
 
             if self.performance_metric is not None:
                 return self._evaluate(dset[...], dataset)
         return None
 
-    def _chunked_sweep(self, raw, starts, patch_shape, halo_shape, normalize, stats, consume):
+    def _chunked_sweep(self, raw, starts, patch_shape, halo_shape, normalize, stats, consume, spatial_n=0):
         """Sweeps the grid in z-slabs so only one sub-volume lives on device
         (and on host) at a time — the device-side LazyPredictor analog.
 
@@ -580,7 +661,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         accumulate across slabs here exactly like gaussian mode — the global
         overlap average then matches the unchunked sharded sweep.
         """
-        weighted = self.blend == "gaussian" or self._mesh_active()
+        weighted = self.blend == "gaussian" or self._mesh_active() or spatial_n > 1
         channels_first = raw.ndim == 4
         depth = int(raw.shape[1] if channels_first else raw.shape[0])
         hz = halo_shape[0]
@@ -590,7 +671,8 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         plane_voxels *= raw.shape[0] if channels_first else 1
         z_capacity = max(int(self.max_device_voxels // max(plane_voxels, 1)), pz)
 
-        sweep = self._get_sweep(tuple(patch_shape), tuple(halo_shape), normalize, stats, weighted=weighted)
+        sweep = self._get_sweep(tuple(patch_shape), tuple(halo_shape), normalize, stats, weighted=weighted,
+                                spatial_n=spatial_n)
 
         # group ascending z-levels into slabs bounded by the device budget
         z_levels = [int(z) for z in np.unique(starts[:, 0])]

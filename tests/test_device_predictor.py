@@ -103,7 +103,7 @@ def test_sharded_grid_matches_single_device(tmpdir):
     for loader in get_test_loaders(config):
         predictor(loader)
     # the sweep actually ran sharded over the full device mesh
-    assert any(k[-1] for k in predictor._sweeps), "sharded sweep was not used"
+    assert any(k[-2] for k in predictor._sweeps), "sharded sweep was not used"
     sweep = next(iter(predictor._sweeps.values()))
     assert sweep.mesh is not None and sweep.mesh.devices.size == len(jax.devices())
 
