@@ -643,13 +643,22 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         return None
 
     def _chunked_sweep(self, raw, starts, patch_shape, halo_shape, normalize, stats, consume, spatial_n=0):
-        """Sweeps the grid in z-slabs so only one sub-volume lives on device
+        """Sweeps the grid in z-slabs so only O(slab) data lives on device
         (and on host) at a time — the device-side LazyPredictor analog.
 
         `raw` is an open h5py dataset (or array), (D, H, W) or (C, D, H, W);
         each slab is read with `_read_padded_slab` (one contiguous H5 read).
         Finalized output planes are emitted in ascending-z order through
         `consume(z_start, planes)` with planes shaped (dz, H, W, Cout).
+
+        The slab loop is a 3-stage software pipeline: a loader thread reads
+        and host->device-uploads slab i+1 while the device sweeps slab i, and
+        a writer thread runs `consume` (typically a gzip'd H5 write) behind
+        both — disk I/O, PCIe/ICI transfer, and MXU compute overlap instead
+        of serializing per slab. Two input slabs are device-resident at the
+        steady state, so when the plan has more than one slab the per-slab
+        input budget is halved (the configured `max_device_voxels` keeps
+        bounding the TOTAL device input footprint).
 
         Stitching semantics match the unchunked sweep: `blend: gaussian`
         accumulates (out, weights) partials in a rolling buffer across slab
@@ -661,6 +670,9 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         accumulate across slabs here exactly like gaussian mode — the global
         overlap average then matches the unchunked sharded sweep.
         """
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
         weighted = self.blend == "gaussian" or self._mesh_active() or spatial_n > 1
         channels_first = raw.ndim == 4
         depth = int(raw.shape[1] if channels_first else raw.shape[0])
@@ -676,11 +688,22 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
         # group ascending z-levels into slabs bounded by the device budget
         z_levels = [int(z) for z in np.unique(starts[:, 0])]
-        slabs: list[list[int]] = [[]]
-        for z in z_levels:
-            if slabs[-1] and (z - slabs[-1][0] + pz) > z_capacity:
-                slabs.append([])
-            slabs[-1].append(z)
+
+        def _group(cap):
+            groups: list[list[int]] = [[]]
+            for z in z_levels:
+                if groups[-1] and (z - groups[-1][0] + pz) > cap:
+                    groups.append([])
+                groups[-1].append(z)
+            return groups
+
+        slabs = _group(z_capacity)
+        if len(slabs) > 1:
+            # the pipeline keeps the NEXT slab's input device-resident while
+            # the current one computes; halve the per-slab budget so the two
+            # together still respect max_device_voxels
+            z_capacity = max(z_capacity // 2, pz)
+            slabs = _group(z_capacity)
         logger.info(f"Streamed sweep: {len(z_levels)} z-levels in {len(slabs)} slabs of <= {z_capacity} z-planes")
 
         # rolling emit buffer over [ptr, ptr + len(buf)) output z-planes
@@ -690,41 +713,66 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         buf_w = np.zeros((0, *hw), dtype=np.float32) if weighted else None
         ptr = 0
 
-        for slab_i, slab_levels in enumerate(slabs):
-            z0, z1 = slab_levels[0], slab_levels[-1]
-            sub = _read_padded_slab(raw, halo_shape, z0, z1 + pz)
-            members = np.isin(starts[:, 0], slab_levels)
-            local = starts[members].copy()
-            local[:, 0] -= z0
-            part_out, part_w = sweep.sweep_raw(self.variables, sub, local, stats=stats)
-            zo = z1 - z0 + cz  # output extent of the slab
+        def _load(slab_i):
+            """Loader-thread stage: contiguous H5 slab read + host->device
+            upload; runs for slab i+1 while the device sweeps slab i."""
+            levels = slabs[slab_i]
+            sub = _read_padded_slab(raw, halo_shape, levels[0], levels[-1] + pz)
+            if sub.ndim == 3:
+                sub = sub[..., None]
+            return jax.device_put(sub)
 
-            grow = (z0 + zo) - (ptr + buf_out.shape[0])
-            if grow > 0:
-                buf_out = np.concatenate([buf_out, np.zeros((grow, *hw, cout), np.float32)])
-                if weighted:
-                    buf_w = np.concatenate([buf_w, np.zeros((grow, *hw), np.float32)])
-            lo = z0 - ptr
-            if weighted:
-                buf_out[lo : lo + zo] += part_out
-                buf_w[lo : lo + zo] += part_w
-            else:
-                # non-mesh assign sweeps return unweighted partials;
-                # overwrite preserves the z-major write-wins order
-                assert part_w is None
-                buf_out[lo : lo + zo] = part_out
+        writes: collections.deque = collections.deque()
+        with ThreadPoolExecutor(max_workers=1) as loader, ThreadPoolExecutor(max_workers=1) as writer:
+            next_slab = loader.submit(_load, 0)
+            for slab_i, slab_levels in enumerate(slabs):
+                z0, z1 = slab_levels[0], slab_levels[-1]
+                sub = next_slab.result()
+                if slab_i + 1 < len(slabs):
+                    next_slab = loader.submit(_load, slab_i + 1)
+                members = np.isin(starts[:, 0], slab_levels)
+                local = starts[members].copy()
+                local[:, 0] -= z0
+                part_out, part_w = sweep.sweep_raw(self.variables, sub, local, stats=stats)
+                zo = z1 - z0 + cz  # output extent of the slab
 
-            emit_end = slabs[slab_i + 1][0] if slab_i + 1 < len(slabs) else depth
-            n_emit = emit_end - ptr
-            if n_emit > 0:
-                planes = buf_out[:n_emit]
+                grow = (z0 + zo) - (ptr + buf_out.shape[0])
+                if grow > 0:
+                    buf_out = np.concatenate([buf_out, np.zeros((grow, *hw, cout), np.float32)])
+                    if weighted:
+                        buf_w = np.concatenate([buf_w, np.zeros((grow, *hw), np.float32)])
+                lo = z0 - ptr
                 if weighted:
-                    planes = planes / np.maximum(buf_w[:n_emit], 1e-10)[..., None]
-                consume(ptr, planes)
-                buf_out = buf_out[n_emit:]
-                if weighted:
-                    buf_w = buf_w[n_emit:]
-                ptr = emit_end
+                    buf_out[lo : lo + zo] += part_out
+                    buf_w[lo : lo + zo] += part_w
+                else:
+                    # non-mesh assign sweeps return unweighted partials;
+                    # overwrite preserves the z-major write-wins order
+                    assert part_w is None
+                    buf_out[lo : lo + zo] = part_out
+
+                emit_end = slabs[slab_i + 1][0] if slab_i + 1 < len(slabs) else depth
+                n_emit = emit_end - ptr
+                if n_emit > 0:
+                    planes = buf_out[:n_emit]
+                    if weighted:
+                        planes = planes / np.maximum(buf_w[:n_emit], 1e-10)[..., None]
+                    # writer-thread stage: consume() (gzip H5 write) overlaps
+                    # the next slab's sweep. In assign mode `planes` views the
+                    # emitted [0, n_emit) prefix of buf_out's base; subsequent
+                    # slabs only touch base indices >= n_emit (or a fresh base
+                    # after concatenate), so the pending write is never
+                    # mutated under the writer. Keep at most one write in
+                    # flight so host RSS stays O(slab).
+                    while len(writes) >= 2:
+                        writes.popleft().result()
+                    writes.append(writer.submit(consume, ptr, planes))
+                    buf_out = buf_out[n_emit:]
+                    if weighted:
+                        buf_w = buf_w[n_emit:]
+                    ptr = emit_end
+            while writes:
+                writes.popleft().result()
 
 
 class DSB2018Predictor(AbstractPredictor):
