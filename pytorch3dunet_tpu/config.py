@@ -111,6 +111,15 @@ def load_config(argv=None) -> tuple[dict, str]:
     return config, args.config
 
 
+def load_config_file(path: str) -> dict:
+    """Loads a config YAML programmatically (no CLI): device resolved, no
+    overrides. Used by serve3dunet and library embedders."""
+    with open(path) as f:
+        config = yaml.safe_load(f)
+    config["device"] = resolve_device(config.get("device", None))
+    return config
+
+
 def copy_config(config: dict, config_path: str):
     """Copies the config file into the newest run directory under checkpoint_dir/logs."""
     logs_root = os.path.join(config["trainer"].pop("checkpoint_dir"), "logs")

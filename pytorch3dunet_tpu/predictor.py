@@ -444,6 +444,82 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                 return n, ((slab_z, h, w), _slab_starts(d, slab_z))
         return 0, None
 
+    def _plan_geometry(self, spatial, patch_shape, starts, halo_shape, cin, normalize):
+        """Applies `patch_mode` to the configured (patch_shape, starts) grid.
+
+        Returns (patch_shape, starts, spatial_n); spatial_n > 1 means each
+        patch's z-axis shards cooperatively over that many devices (slab x
+        mesh composition). `patch_mode: grid` returns the inputs unchanged.
+        """
+        spatial_n = 0
+        if self.patch_mode != "slab":
+            return patch_shape, starts, spatial_n
+        n_grid = len(starts)
+        if is_model_2d(self.model):
+            pb = self.patch_batch if self.patch_batch is not None else 16
+            plan = _plan_plane_grid(spatial, halo_shape, cin, self.max_patch_voxels, pb)
+            if plan is None:
+                logger.warning(
+                    f"patch_mode 'slab': {spatial[1]}x{spatial[2]} planes x patch_batch={pb} "
+                    f"exceed max_patch_voxels={self.max_patch_voxels}; keeping the configured grid"
+                )
+            else:
+                patch_shape, starts = plan
+                logger.info(
+                    f"patch_mode 'slab': {len(starts)} full-plane 2D patches replace the "
+                    f"{n_grid}-tile grid"
+                )
+            return patch_shape, starts, spatial_n
+
+        plan = _plan_slab_grid(spatial, patch_shape, halo_shape, cin, self.max_patch_voxels)
+        n_dev = len(jax.local_devices()) if self._mesh_active() else 1
+        if plan is None:
+            logger.warning(
+                f"patch_mode 'slab': the {spatial[1]}x{spatial[2]} plane is too large for a "
+                f"worthwhile full-plane slab under max_patch_voxels={self.max_patch_voxels}; "
+                "keeping the configured patch grid"
+            )
+        elif len(plan[1]) < n_dev:
+            # fewer slabs than chips: first try COOPERATIVE sharding — every
+            # slab's z-axis splits across the mesh (halo-exchanged convs +
+            # psum'd GroupNorm, parallel/spatial.py), so the slab geometry's
+            # halo savings AND full mesh utilization compose
+            spatial_n, sp_plan = self._plan_spatial_slab(
+                spatial, plan[0][0], patch_shape, halo_shape, normalize)
+            if spatial_n == n_dev:
+                patch_shape, starts = sp_plan
+                logger.info(
+                    f"patch_mode 'slab': {len(starts)} z-slab(s) of depth {patch_shape[0]}, "
+                    f"each z-sharded over all {spatial_n} devices cooperatively"
+                )
+            elif n_dev <= n_grid:
+                # a partially-idle spatial mesh loses to the grid split
+                # across ALL chips; keep the grid
+                spatial_n = 0
+                logger.info(
+                    f"patch_mode 'slab': {len(plan[1])} slabs would idle "
+                    f"{n_dev - len(plan[1])} of {n_dev} devices and no slab depth is "
+                    f"z-shardable {n_dev} ways; keeping the "
+                    f"{n_grid}-patch grid (set 'shard: false' to prefer slabs)"
+                )
+            else:
+                # the configured grid is ALSO smaller than the mesh — slabs
+                # at least save halo redundancy
+                spatial_n = 0
+                patch_shape, starts = plan
+                logger.info(
+                    f"patch_mode 'slab': {len(starts)} z-slab(s) of depth "
+                    f"{patch_shape[0]} (grid and slabs both underfill the "
+                    f"{n_dev}-device mesh; z-sharding unavailable)"
+                )
+        else:
+            patch_shape, starts = plan
+            logger.info(
+                f"patch_mode 'slab': {len(starts)} full-plane z-slab(s) of depth "
+                f"{patch_shape[0]} replace the {n_grid}-patch grid"
+            )
+        return patch_shape, starts, spatial_n
+
     def __call__(self, test_loader):
         from pytorch3dunet_tpu.datasets.utils import mirror_pad
         from pytorch3dunet_tpu.inference_device import detect_device_path
@@ -485,72 +561,9 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             channels_first = raw_dset.ndim == 4
             spatial = raw_dset.shape[1:] if channels_first else raw_dset.shape
             cin = raw_dset.shape[0] if channels_first else 1
-            spatial_n = 0  # >1: cooperative z-sharding of each patch (slab mode)
-
-            if self.patch_mode == "slab":
-                if is_model_2d(self.model):
-                    pb = self.patch_batch if self.patch_batch is not None else 16
-                    plan = _plan_plane_grid(spatial, dataset.halo_shape, cin, self.max_patch_voxels, pb)
-                    if plan is None:
-                        logger.warning(
-                            f"patch_mode 'slab': {spatial[1]}x{spatial[2]} planes x patch_batch={pb} "
-                            f"exceed max_patch_voxels={self.max_patch_voxels}; keeping the configured grid"
-                        )
-                    else:
-                        patch_shape, starts = plan
-                        logger.info(
-                            f"patch_mode 'slab': {len(starts)} full-plane 2D patches replace the "
-                            f"{len(dataset.raw_slices)}-tile grid"
-                        )
-                else:
-                    plan = _plan_slab_grid(spatial, patch_shape, dataset.halo_shape, cin, self.max_patch_voxels)
-                    n_dev = len(jax.local_devices()) if self._mesh_active() else 1
-                    if plan is None:
-                        logger.warning(
-                            f"patch_mode 'slab': the {spatial[1]}x{spatial[2]} plane is too large for a "
-                            f"worthwhile full-plane slab under max_patch_voxels={self.max_patch_voxels}; "
-                            "keeping the configured patch grid"
-                        )
-                    elif len(plan[1]) < n_dev:
-                        # fewer slabs than chips: first try COOPERATIVE
-                        # sharding — every slab's z-axis splits across the
-                        # mesh (halo-exchanged convs + psum'd GroupNorm,
-                        # parallel/spatial.py), so the slab geometry's halo
-                        # savings AND full mesh utilization compose
-                        spatial_n, sp_plan = self._plan_spatial_slab(
-                            spatial, plan[0][0], patch_shape, dataset.halo_shape, normalize)
-                        if spatial_n == n_dev:
-                            patch_shape, starts = sp_plan
-                            logger.info(
-                                f"patch_mode 'slab': {len(starts)} z-slab(s) of depth {patch_shape[0]}, "
-                                f"each z-sharded over all {spatial_n} devices cooperatively"
-                            )
-                        elif n_dev <= len(starts):
-                            # a partially-idle spatial mesh loses to the grid
-                            # split across ALL chips; keep the grid
-                            spatial_n = 0
-                            logger.info(
-                                f"patch_mode 'slab': {len(plan[1])} slabs would idle "
-                                f"{n_dev - len(plan[1])} of {n_dev} devices and no slab depth is "
-                                f"z-shardable {n_dev} ways; keeping the "
-                                f"{len(starts)}-patch grid (set 'shard: false' to prefer slabs)"
-                            )
-                        else:
-                            # the configured grid is ALSO smaller than the
-                            # mesh — slabs at least save halo redundancy
-                            spatial_n = 0
-                            patch_shape, starts = plan
-                            logger.info(
-                                f"patch_mode 'slab': {len(starts)} z-slab(s) of depth "
-                                f"{patch_shape[0]} (grid and slabs both underfill the "
-                                f"{n_dev}-device mesh; z-sharding unavailable)"
-                            )
-                    else:
-                        patch_shape, starts = plan
-                        logger.info(
-                            f"patch_mode 'slab': {len(starts)} full-plane z-slab(s) of depth "
-                            f"{patch_shape[0]} replace the {len(dataset.raw_slices)}-patch grid"
-                        )
+            # spatial_n > 1: cooperative z-sharding of each patch (slab mode)
+            patch_shape, starts, spatial_n = self._plan_geometry(
+                spatial, patch_shape, starts, dataset.halo_shape, cin, normalize)
 
             overlapping = any(
                 len(u := np.unique(starts[:, k])) > 1 and np.min(np.diff(u)) < patch_shape[k]
@@ -604,6 +617,39 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         if self.performance_metric is not None:
             return self._evaluate(prediction_array, dataset)
         return None
+
+    def predict_array(self, volume: np.ndarray, patch_shape, stride_shape, halo_shape,
+                      normalize=None, stats=None) -> np.ndarray:
+        """In-memory sliding-window prediction — the serving path (serve.py).
+
+        (D, H, W) or channels-first (C, D, H, W) numpy in, (Cout, D, H, W)
+        float32 probabilities out. Shares the file path's geometry planning
+        (`patch_mode`, mesh sharding, cooperative slab z-sharding), device
+        normalization, blending, and TTA; equal-shape volumes reuse one
+        compiled sweep. No H5 round-trip, no dataset object.
+        """
+        from pytorch3dunet_tpu.datasets.utils import SliceBuilder, mirror_pad
+
+        volume = np.asarray(volume, dtype=np.float32)
+        assert volume.ndim in (3, 4), f"expected (D, H, W) or (C, D, H, W), got shape {volume.shape}"
+        channels_first = volume.ndim == 4
+        spatial = volume.shape[1:] if channels_first else volume.shape
+        cin = volume.shape[0] if channels_first else 1
+        halo_shape = tuple(int(h) for h in halo_shape)
+        slices = SliceBuilder._build_slices(
+            np.broadcast_to(np.float32(0), spatial), tuple(patch_shape), tuple(stride_shape))
+        starts = np.array([[s.start for s in idx[-3:]] for idx in slices], dtype=np.int32)
+        patch_shape = tuple(idx.stop - idx.start for idx in slices[0][-3:])
+        patch_shape, starts, spatial_n = self._plan_geometry(
+            spatial, patch_shape, starts, halo_shape, cin, normalize)
+
+        raw = np.moveaxis(volume, 0, -1) if channels_first else volume
+        padded = mirror_pad(raw, halo_shape) if raw.ndim == 3 else \
+            np.stack([mirror_pad(raw[..., c], halo_shape) for c in range(raw.shape[-1])], axis=-1)
+        sweep = self._get_sweep(patch_shape, halo_shape, normalize, stats, weighted=None,
+                                spatial_n=spatial_n)
+        stitched = sweep(self.variables, padded, starts, stats=stats)  # (D, H, W, Cout)
+        return np.moveaxis(stitched, -1, 0)
 
     def _streamed_predict(self, dataset, raw_dset, spatial, starts, patch_shape, normalize, stats, t_start,
                           spatial_n=0):
