@@ -41,6 +41,27 @@ def get_predictor(model, variables, config: dict):
                            device=config["device"])
 
 
+def load_model_variables(model, model_path):
+    """Initializes `model` and restores inference weights from `model_path`
+    (EMA weights preferred when the checkpoint carries them). Shared by the
+    predict3dunet and serve3dunet entry points.
+
+    Parameters are shape-independent of the spatial dims: init with the
+    default example shape, then restore from the checkpoint. The init is
+    jitted: eager flax init dispatches hundreds of ops one by one, which
+    costs seconds each over a tunneled TPU (CLAUDE.md).
+    """
+    from pytorch3dunet_tpu.utils.checkpoint import apply_ema_weights
+
+    logger.info(f"Loading model from {model_path}...")
+    variables = jax.jit(lambda key: model.init(key))(jax.random.PRNGKey(0))
+    state = load_checkpoint(model_path, variables)
+    variables, used_ema = apply_ema_weights(state, state["model_state_dict"])
+    if used_ema:
+        logger.info("Checkpoint carries EMA weights (trainer.ema_decay): predicting with them")
+    return variables
+
+
 def main():
     """Loads the model + checkpoint and runs prediction over every test loader."""
     from pytorch3dunet_tpu.parallel.distributed import initialize_from_env
@@ -55,20 +76,7 @@ def main():
     assert device, "Device not specified in the config file and could not be inferred automatically"
     logger.info(f"Using device: {device}")
 
-    model_path = config["model_path"]
-    logger.info(f"Loading model from {model_path}...")
-    # parameters are shape-independent of the spatial dims: init with the
-    # default example shape, then restore from the checkpoint. jit the init:
-    # eager flax init dispatches hundreds of ops one by one, which costs
-    # seconds each over a tunneled TPU (CLAUDE.md)
-    variables = jax.jit(lambda key: model.init(key))(jax.random.PRNGKey(0))
-    state = load_checkpoint(model_path, variables)
-    variables = state["model_state_dict"]
-    from pytorch3dunet_tpu.utils.checkpoint import apply_ema_weights
-
-    variables, used_ema = apply_ema_weights(state, variables)
-    if used_ema:
-        logger.info("Checkpoint carries EMA weights (trainer.ema_decay): predicting with them")
+    variables = load_model_variables(model, config["model_path"])
 
     logger.info("Creating predictor...")
     predictor = get_predictor(model, variables, config)

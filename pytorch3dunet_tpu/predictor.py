@@ -643,6 +643,20 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         patch_shape, starts, spatial_n = self._plan_geometry(
             spatial, patch_shape, starts, halo_shape, cin, normalize)
 
+        padded_voxels = int(np.prod([s + 2 * h for s, h in zip(spatial, halo_shape)])) * cin
+        if self.max_device_voxels and padded_voxels > self.max_device_voxels:
+            # over-budget volume: the same pipelined z-slab sweep the file
+            # path streams through, landing in an in-memory array instead of
+            # an H5 dataset (the caller gets the array back anyway)
+            out = np.zeros((*spatial, self.out_channels), dtype=np.float32)
+
+            def consume(z, planes):
+                out[z : z + planes.shape[0]] = planes
+
+            self._chunked_sweep(volume, starts, patch_shape, halo_shape, normalize, stats,
+                                consume, spatial_n=spatial_n)
+            return np.moveaxis(out, -1, 0)
+
         raw = np.moveaxis(volume, 0, -1) if channels_first else volume
         padded = mirror_pad(raw, halo_shape) if raw.ndim == 3 else \
             np.stack([mirror_pad(raw[..., c], halo_shape) for c in range(raw.shape[-1])], axis=-1)
@@ -810,7 +824,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                     # after concatenate), so the pending write is never
                     # mutated under the writer. Keep at most one write in
                     # flight so host RSS stays O(slab).
-                    while len(writes) >= 2:
+                    while len(writes) >= 1:
                         writes.popleft().result()
                     writes.append(writer.submit(consume, ptr, planes))
                     buf_out = buf_out[n_emit:]

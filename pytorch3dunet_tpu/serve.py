@@ -59,23 +59,17 @@ class ServingSession:
 
         from pytorch3dunet_tpu.inference_device import detect_device_path
         from pytorch3dunet_tpu.models import get_model, is_model_2d
-        from pytorch3dunet_tpu.predict import get_predictor
+        from pytorch3dunet_tpu.predict import get_predictor, load_model_variables
         from pytorch3dunet_tpu.predictor import DeviceSlidingWindowPredictor
-        from pytorch3dunet_tpu.utils.checkpoint import apply_ema_weights, load_checkpoint
 
         self.config = config
         self.model = get_model(config["model"])
         model_path = config.get("model_path")
-        variables = jax.jit(lambda key: self.model.init(key))(jax.random.PRNGKey(0))
         if model_path:
-            logger.info(f"Loading model from {model_path}...")
-            state = load_checkpoint(model_path, variables)
-            variables = state["model_state_dict"]
-            variables, used_ema = apply_ema_weights(state, variables)
-            if used_ema:
-                logger.info("Checkpoint carries EMA weights: serving them")
+            variables = load_model_variables(self.model, model_path)
         else:
             logger.warning("No model_path in the config: serving RANDOM weights (smoke-test mode)")
+            variables = jax.jit(lambda key: self.model.init(key))(jax.random.PRNGKey(0))
 
         config.setdefault("predictor", {}).setdefault("name", "DeviceSlidingWindowPredictor")
         self.predictor = get_predictor(self.model, variables, config)
@@ -97,6 +91,12 @@ class ServingSession:
                 "serve3dunet has no host fallback loop"
             )
         self.normalize, self.stats = path
+        if self.normalize == "standardize_patch" and config["loaders"].get("global_normalization"):
+            # global_normalization: the batch path computes mean/std over the
+            # whole volume (datasets/hdf5.py _normalization_stats) and
+            # standardizes with them; serving computes them per request
+            # volume in _resolve_stats — matching semantics, no dataset
+            self.normalize, self.stats = "standardize", {"mean": None, "std": None}
         self.is_2d = is_model_2d(self.model)
         self.pad_to_multiple = None if pad_to_multiple is None else tuple(int(m) for m in pad_to_multiple)
         self._lock = threading.Lock()
@@ -177,6 +177,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
+        if code >= 400:
+            # error paths may leave an unread request body on the socket
+            # (e.g. a POST to a wrong path); closing keeps HTTP/1.1
+            # keep-alive clients from parsing those bytes as a next request
+            self.send_header("Connection", "close")
+            self.close_connection = True
         self.end_headers()
         self.wfile.write(body)
 

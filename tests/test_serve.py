@@ -133,3 +133,59 @@ def test_serve_rejects_host_only_transformer():
         {"name": "Standardize", "channelwise": True}, {"name": "ToTensor", "expand_dims": True}]
     with pytest.raises(ValueError, match="not supported by the device sweep"):
         ServingSession(config)
+
+
+def test_serve_global_normalization_matches_batch(tmpdir):
+    """loaders.global_normalization: serving computes whole-volume mean/std
+    per request — must equal the batch path's dataset-computed statistics."""
+    from pytorch3dunet_tpu.datasets.utils import get_test_loaders
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.predict import get_predictor
+
+    vol = np.random.RandomState(7).rand(16, 48, 48).astype(np.float32) * 3 + 5
+    path = os.path.join(str(tmpdir), "vol.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=vol)
+
+    config = _serve_config()
+    config["loaders"]["global_normalization"] = True
+    config["loaders"].update({"output_dir": str(tmpdir), "batch_size": 1,
+                              "raw_internal_path": "raw", "num_workers": 1})
+    config["loaders"]["test"]["file_paths"] = [path]
+
+    model = get_model(config["model"])
+    variables = jax.jit(lambda key: model.init(key))(jax.random.PRNGKey(0))
+    predictor = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        predictor(loader)
+    with h5py.File(os.path.join(str(tmpdir), "vol_predictions.h5"), "r") as f:
+        batch_pred = f["predictions"][:]
+
+    session = ServingSession(_serve_config() | {"loaders": config["loaders"]})
+    assert session.normalize == "standardize"
+    served = session.predict(vol)
+    np.testing.assert_allclose(served, batch_pred, atol=2e-5)
+
+
+def test_predict_array_streams_over_budget_volumes(tmpdir):
+    """predict_array must route volumes over max_device_voxels through the
+    pipelined z-slab stream (same output, bounded device footprint)."""
+    from pytorch3dunet_tpu.models import get_model
+    from pytorch3dunet_tpu.predict import get_predictor
+
+    vol = np.random.RandomState(9).rand(32, 48, 48).astype(np.float32)
+    config = _serve_config()
+    config["loaders"].update({"output_dir": str(tmpdir), "batch_size": 1,
+                              "raw_internal_path": "raw", "num_workers": 1})
+    model = get_model(config["model"])
+    variables = jax.jit(lambda key: model.init(key))(jax.random.PRNGKey(0))
+
+    predictor = get_predictor(model, variables, config)
+    full = predictor.predict_array(vol, (8, 24, 24), (8, 24, 24), (4, 8, 8),
+                                   normalize="standardize_patch", stats={})
+
+    config["predictor"]["max_device_voxels"] = 16 * 64 * 64
+    streamed_predictor = get_predictor(model, variables, config)
+    streamed = streamed_predictor.predict_array(vol, (8, 24, 24), (8, 24, 24), (4, 8, 8),
+                                                normalize="standardize_patch", stats={})
+    np.testing.assert_allclose(streamed, full, atol=2e-5)

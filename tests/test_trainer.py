@@ -226,18 +226,52 @@ def test_async_checkpoint_snapshot_survives_donation(train_config, tmpdir):
     trainer._save_checkpoint = recording_save
     trainer.fit()
     assert trainer._ckpt_future is None  # fit() drained the background save
+    assert len(recorded) >= 2  # saves at iterations 2, 4, 6 raced later steps
 
-    at_iters, at_state = recorded[0]
+    # earlier saves' files were overwritten; the last one is on disk
+    at_iters, at_state = recorded[-1]
     checkpoint = os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch")
     state = load_checkpoint(checkpoint, trainer.variables)
-    # the FIRST save's snapshot was overwritten by later saves; re-assert on
-    # the last one instead (every boundary saves)
-    at_iters, at_state = recorded[-1]
     assert state["num_iterations"] == at_iters
     loaded = jax.tree_util.tree_leaves(state["model_state_dict"])
     live = jax.tree_util.tree_leaves(at_state)
     assert len(loaded) == len(live)
     for a, b in zip(loaded, live):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # deterministic donation check: snapshot a save but DEFER its background
+    # write, run a donating train step (invalidating the live buffers the
+    # snapshot copied from), then run the write. If the snapshot referenced
+    # the donated buffers instead of owning copies, the deferred device_get
+    # would read deleted buffers.
+    deferred = []
+
+    class DeferredExecutor:
+        def submit(self, fn, *args, **kwargs):
+            from concurrent.futures import Future
+
+            deferred.append((fn, args, kwargs))
+            f = Future()
+            f.set_result(None)
+            return f
+
+    trainer._ckpt_executor = DeferredExecutor()
+    expected_iters = trainer.num_iterations
+    expected = jax.device_get(trainer.variables)
+    real_save(is_best=False)  # snapshot now, write deferred
+
+    batch, target = next(iter(trainer.loaders["train"]))
+    inp, tgt = trainer._prepare_batch(batch, target, augment=False)
+    step_rng = jax.random.PRNGKey(123)
+    trainer.variables, trainer.opt_state, _, _ = trainer._train_step_fn(
+        trainer.variables, trainer.opt_state, step_rng, inp, tgt)  # donates the old buffers
+
+    (fn, args, kwargs), = deferred
+    fn(*args, **kwargs)  # the background write runs AFTER the donation
+    state = load_checkpoint(checkpoint, trainer.variables)
+    assert state["num_iterations"] == expected_iters
+    for a, b in zip(jax.tree_util.tree_leaves(state["model_state_dict"]),
+                    jax.tree_util.tree_leaves(expected)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

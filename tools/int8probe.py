@@ -73,13 +73,16 @@ def main():
             return jax.random.randint(key, shape, -4, 4, dtype=jnp.int8)
         return jax.random.uniform(key, shape, dtype=jnp.float32).astype(dt)
 
-    # --- big square matmul: the clean MXU rate question ---
-    M = 4096
-    mm_flops = 2 * M * M * M
-    for dt, out in ((jnp.bfloat16, jnp.float32), (jnp.int8, jnp.int32)):
-        a, b = mk((M, M), dt), mk((M, M), dt)
-        timeit(matmul(out), (a, b), label=f"matmul {M}^3 {dt.__name__}",
-               flops=mm_flops)
+    # --- big square matmuls: the clean MXU rate question. 8192^3 is the
+    # headline row (int8 1.54x bf16, BENCH_NOTES r4); 4096^3 shows the gap
+    # closing as the matmul shrinks toward this workload's sizes ---
+    for M, n in ((4096, 30), (8192, 10)):
+        mm_flops = 2 * M * M * M
+        for dt, out in ((jnp.bfloat16, jnp.bfloat16 if M == 8192 else jnp.float32),
+                        (jnp.int8, jnp.int32)):
+            a, b = mk((M, M), dt), mk((M, M), dt)
+            timeit(matmul(out), (a, b), n=n, label=f"matmul {M}^3 {dt.__name__}",
+                   flops=mm_flops)
 
     # --- level-0 conv, as-2d shape: N=40 planes of 170x170, C=32 ---
     N, H, W, C = 40, 170, 170, 32
