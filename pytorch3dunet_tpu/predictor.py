@@ -324,7 +324,9 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         max_device_voxels: slab the sweep when the padded volume is larger
             than this many elements (default 1e9).
         patch_batch: patches per forward dispatch (default 1 for 3D models,
-            16 for 2D — singleton-z slices underfill the chip at batch 1).
+            16 for 2D — singleton-z slices underfill the chip at batch 1;
+            full-plane slab plans default to 24, the measured sweet spot,
+            stepping down to 16 if `max_patch_voxels` refuses 24 planes).
         patch_mode: 'grid' (default) sweeps the configured patch grid
             unchanged (reference-exact patch independence). 'slab' coalesces
             the grid into full-xy z-slabs as deep as `max_patch_voxels`
@@ -361,6 +363,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         assert patch_mode in ("grid", "slab"), f"unknown patch_mode: {patch_mode!r}"
         self.patch_mode = patch_mode
         self.max_patch_voxels = int(max_patch_voxels)
+        # set by _plan_geometry when the full-plane 2D plan picks its own
+        # patch_batch (the measured full-plane sweet spot differs from the
+        # tiled-grid default); consumed by _get_sweep when patch_batch is unset
+        self._planned_patch_batch = None
         self._sweeps = {}
 
     def _mesh_active(self) -> bool:
@@ -379,7 +385,7 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         mesh = data_mesh(jax.local_devices()) if (spatial_mesh is None and self._mesh_active()) else None
         patch_batch = self.patch_batch
         if patch_batch is None:
-            patch_batch = 16 if is_model_2d(self.model) else 1
+            patch_batch = self._planned_patch_batch or (16 if is_model_2d(self.model) else 1)
         if spatial_mesh is not None:
             patch_batch = 1
         # resolve the weighted tri-state BEFORE keying: weighted=None means
@@ -452,12 +458,22 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         mesh composition). `patch_mode: grid` returns the inputs unchanged.
         """
         spatial_n = 0
+        self._planned_patch_batch = None
         if self.patch_mode != "slab":
             return patch_shape, starts, spatial_n
         n_grid = len(starts)
         if is_model_2d(self.model):
-            pb = self.patch_batch if self.patch_batch is not None else 16
-            plan = _plan_plane_grid(spatial, halo_shape, cin, self.max_patch_voxels, pb)
+            # full-plane geometry's measured sweet spot is 24 planes per
+            # forward (BENCH_NOTES r4: patch_batch 16 -> 100.7, 24 -> 132.8,
+            # 32 -> 104.5 Mvox/s on 512x512 planes); tiled 2D grids keep the
+            # default 16 (measured best there). An explicit patch_batch wins;
+            # otherwise try 24 and step down to 16 if the budget refuses.
+            candidates = (self.patch_batch,) if self.patch_batch is not None else (24, 16)
+            plan = None
+            for pb in candidates:
+                plan = _plan_plane_grid(spatial, halo_shape, cin, self.max_patch_voxels, pb)
+                if plan is not None:
+                    break
             if plan is None:
                 logger.warning(
                     f"patch_mode 'slab': {spatial[1]}x{spatial[2]} planes x patch_batch={pb} "
@@ -465,9 +481,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
                 )
             else:
                 patch_shape, starts = plan
+                self._planned_patch_batch = pb
                 logger.info(
                     f"patch_mode 'slab': {len(starts)} full-plane 2D patches replace the "
-                    f"{n_grid}-tile grid"
+                    f"{n_grid}-tile grid (patch_batch={pb})"
                 )
             return patch_shape, starts, spatial_n
 

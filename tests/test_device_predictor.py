@@ -520,3 +520,39 @@ def test_slab_mode_2d_full_plane(tmpdir):
     # over-budget plane: plan refuses, the configured grid sweeps unchanged
     from pytorch3dunet_tpu.predictor import _plan_plane_grid
     assert _plan_plane_grid((6, 48, 48), (0, 8, 8), 1, budget=1000, patch_batch=2) is None
+
+
+def test_slab_mode_2d_plane_patch_batch_default(tmpdir):
+    # unset patch_batch under the full-plane plan defaults to 24 (the
+    # measured full-plane sweet spot, BENCH_NOTES r4), steps down to 16 when
+    # 24 planes overflow max_patch_voxels, and an explicit value always wins
+    from pytorch3dunet_tpu.predictor import DeviceSlidingWindowPredictor
+
+    model = get_model({"name": "UNet2D", "in_channels": 1, "out_channels": 2,
+                       "layer_order": "gcr", "f_maps": 8, "num_groups": 4,
+                       "num_levels": 2, "final_sigmoid": False})
+    plane = 64 * 64  # (0,0,0) halo keeps the padded plane = the plane
+
+    def plan(**kw):
+        p = DeviceSlidingWindowPredictor(
+            model, None, str(tmpdir), out_channels=2, patch_mode="slab", **kw)
+        shape, starts, _ = p._plan_geometry(
+            (6, 64, 64), (1, 32, 32), np.zeros((4, 3), np.int32), (0, 0, 0), 1, None)
+        return p, shape, starts
+
+    p, shape, starts = plan(max_patch_voxels=24 * plane)
+    assert shape == (1, 64, 64) and len(starts) == 6
+    assert p._planned_patch_batch == 24
+
+    p, shape, _ = plan(max_patch_voxels=16 * plane)  # 24 refused, 16 fits
+    assert shape == (1, 64, 64)
+    assert p._planned_patch_batch == 16
+
+    p, shape, _ = plan(max_patch_voxels=24 * plane, patch_batch=8)
+    assert shape == (1, 64, 64)
+    assert p._planned_patch_batch == 8 and p.patch_batch == 8
+
+    # budget below even 16 planes: the configured grid is kept untouched
+    p, shape, starts = plan(max_patch_voxels=8 * plane)
+    assert shape == (1, 32, 32) and len(starts) == 4
+    assert p._planned_patch_batch is None
