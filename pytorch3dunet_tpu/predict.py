@@ -82,10 +82,16 @@ def main():
     predictor = get_predictor(model, variables, config)
 
     metrics = []
-    for test_loader in get_test_loaders(config):
-        metric = predictor(test_loader)
-        if metric is not None:
-            metrics.append(metric)
+    try:
+        for test_loader in get_test_loaders(config):
+            metric = predictor(test_loader)
+            if metric is not None:
+                metrics.append(metric)
+    finally:
+        # join the write-behind output write of the last volume (the device
+        # predictor overlaps each volume's gzip H5 write with the next
+        # volume's read + sweep)
+        predictor.finalize()
 
     if metrics:
         metrics = np.asarray(metrics, dtype=np.float64)

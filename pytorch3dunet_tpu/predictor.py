@@ -137,6 +137,11 @@ class AbstractPredictor:
     def __call__(self, test_loader):
         raise NotImplementedError
 
+    def finalize(self):
+        """Drains any deferred output work (write-behind saves). Host-loop
+        predictors save inline, so the base is a no-op; call after the last
+        volume (predict3dunet does)."""
+
 
 class StandardPredictor(AbstractPredictor):
     """Keeps the stitched prediction volume in RAM, saves it as gzip H5."""
@@ -368,6 +373,9 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         # tiled-grid default); consumed by _get_sweep when patch_batch is unset
         self._planned_patch_batch = None
         self._sweeps = {}
+        # write-behind output state (_submit_write / finalize)
+        self._writer = None
+        self._write_future = None
 
     def _mesh_active(self) -> bool:
         # local devices: under multi-host each process predicts its own file
@@ -621,6 +629,20 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
         logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
 
+        if self.performance_metric is not None:
+            # the metric consumes the finalized array anyway: save inline
+            prediction_array = self._save_output(prediction_array, dataset)
+            return self._evaluate(prediction_array, dataset)
+        # write-behind: the gzip H5 write runs on a background thread so the
+        # next volume's read + pad + sweep overlap it (directory jobs spend
+        # seconds per volume in gzip). finalize() joins the tail write —
+        # predict3dunet calls it after the last loader.
+        self._submit_write(prediction_array, dataset)
+        return None
+
+    def _save_output(self, prediction_array, dataset):
+        """Applies the output transform (segmentation / channel select) and
+        writes the gzip H5; returns the transformed array."""
         if self.save_segmentation:
             prediction_array = self._to_segmentation(prediction_array)
         elif self.prediction_channel is not None:
@@ -630,10 +652,24 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         logger.info(f"Saving predictions to: {output_file}")
         with h5py.File(output_file, "w") as h5_output_file:
             h5_output_file.create_dataset(self.output_dataset, data=prediction_array, compression="gzip")
+        return prediction_array
 
-        if self.performance_metric is not None:
-            return self._evaluate(prediction_array, dataset)
-        return None
+    def _submit_write(self, prediction_array, dataset):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._writer is None:
+            self._writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="h5-write-behind")
+        # depth-1 queue: at most one volume-sized write buffer is pending, and
+        # the previous write's exceptions surface on the very next volume
+        self.finalize()
+        self._write_future = self._writer.submit(self._save_output, prediction_array, dataset)
+
+    def finalize(self):
+        """Drains the write-behind output write, re-raising its exception if
+        the write failed. Call after the last volume (predict3dunet does)."""
+        future, self._write_future = self._write_future, None
+        if future is not None:
+            future.result()
 
     def predict_array(self, volume: np.ndarray, patch_shape, stride_shape, halo_shape,
                       normalize=None, stats=None) -> np.ndarray:

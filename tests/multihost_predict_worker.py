@@ -58,6 +58,7 @@ def main(tmpdir):
     for loader in get_test_loaders(config):
         names.append(os.path.basename(loader.dataset.file_path))
         predictor(loader)
+        predictor.finalize()
 
     print(f"PREDICTED {jax.process_index()} {','.join(sorted(names))}", flush=True)
     sweep = next(iter(predictor._sweeps.values()))

@@ -43,6 +43,7 @@ def _predict(config, model, variables):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
     out = os.path.join(config["loaders"]["output_dir"], "vol_predictions.h5")
     with h5py.File(out, "r") as f:
         return f["predictions"][:]
@@ -102,6 +103,7 @@ def test_sharded_grid_matches_single_device(tmpdir):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
     # the sweep actually ran sharded over the full device mesh
     assert any(k[-2] for k in predictor._sweeps), "sharded sweep was not used"
     sweep = next(iter(predictor._sweeps.values()))
@@ -338,6 +340,7 @@ def test_device_sweep_2d_model_matches_host(tmpdir):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
     assert predictor._sweeps, "2D model did not use the device sweep"
     out = os.path.join(config["loaders"]["output_dir"], "vol_predictions.h5")
     with h5py.File(out, "r") as f:
@@ -556,3 +559,63 @@ def test_slab_mode_2d_plane_patch_batch_default(tmpdir):
     p, shape, starts = plan(max_patch_voxels=8 * plane)
     assert shape == (1, 32, 32) and len(starts) == 4
     assert p._planned_patch_batch is None
+
+
+def test_write_behind_multi_volume(tmpdir):
+    # write-behind saves: a two-volume job overlaps each volume's gzip write
+    # with the next volume's work; finalize() drains the tail and every
+    # output matches the host predictor's inline save
+    config = _make_config(tmpdir)
+    path_b = os.path.join(str(tmpdir), "volb.h5")
+    with h5py.File(path_b, "w") as f:
+        f.create_dataset("raw", data=np.random.RandomState(7).rand(24, 72, 72))
+    config["loaders"]["test"]["file_paths"].append(path_b)
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    predictor = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        predictor(loader)
+    predictor.finalize()
+    host = {}
+    config["predictor"]["name"] = "StandardPredictor"
+    hp = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        hp(loader)
+    for stem in ("vol", "volb"):
+        out = os.path.join(str(tmpdir), f"{stem}_predictions.h5")
+        with h5py.File(out, "r") as f:
+            host[stem] = f["predictions"][:]
+    # rerun the device job to fresh outputs and compare
+    config["predictor"]["name"] = "DeviceSlidingWindowPredictor"
+    out_dir = os.path.join(str(tmpdir), "dev")
+    os.makedirs(out_dir)
+    config["loaders"]["output_dir"] = out_dir
+    predictor = get_predictor(model, variables, config)
+    for loader in get_test_loaders(config):
+        predictor(loader)
+    predictor.finalize()
+    for stem in ("vol", "volb"):
+        with h5py.File(os.path.join(out_dir, f"{stem}_predictions.h5"), "r") as f:
+            np.testing.assert_allclose(f["predictions"][:], host[stem], atol=2e-5)
+
+
+def test_write_behind_error_surfaces_on_finalize(tmpdir):
+    # a failed background write must re-raise, not vanish in the thread
+    from pytorch3dunet_tpu.predictor import DeviceSlidingWindowPredictor
+
+    model = get_model({"name": "UNet3D", "in_channels": 1, "out_channels": 2,
+                       "layer_order": "gcr", "f_maps": 8, "num_groups": 4,
+                       "num_levels": 2, "final_sigmoid": False})
+    p = DeviceSlidingWindowPredictor(model, None, str(tmpdir), out_channels=2)
+    boom = RuntimeError("disk full")
+
+    def failing_save(arr, ds):
+        raise boom
+
+    p._save_output = failing_save
+    p._submit_write(np.zeros((2, 4, 4, 4), np.float32), None)
+    with pytest.raises(RuntimeError, match="disk full"):
+        p.finalize()
+    # the queue is drained: a second finalize is a no-op
+    p.finalize()

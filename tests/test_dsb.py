@@ -74,6 +74,7 @@ class TestDSBPredictor:
 
         predictor = DSB2018Predictor(model, variables, out_dir, device="cpu")
         predictor(loader)
+        predictor.finalize()
 
         outputs = [f for f in os.listdir(out_dir) if f.endswith("_predictions.h5")]
         assert len(outputs) == 3
@@ -104,6 +105,7 @@ class TestDSBPredictor:
 
         predictor = DSB2018Predictor(model, variables, out_dir, device="cpu", pad_to_multiple=32)
         predictor(loader)
+        predictor.finalize()
 
         # predictions keep the ORIGINAL image shapes
         shapes = set()

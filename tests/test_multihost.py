@@ -179,6 +179,7 @@ def test_two_process_distributed_predict(tmpdir):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
 
     for i in range(3):
         worker_out = os.path.join(tmpdir, "out", f"v{i}_predictions.h5")

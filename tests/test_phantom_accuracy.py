@@ -136,6 +136,7 @@ def test_trained_instance_segmentation_meets_reference_gates(tmpdir):
     predictor = get_predictor(model, state["model_state_dict"], pred_config)
     for loader in get_test_loaders(pred_config):
         predictor(loader)
+        predictor.finalize()
 
     with h5py.File(os.path.join(base, "test_predictions.h5"), "r") as f:
         pred = f["predictions"][:]

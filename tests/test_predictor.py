@@ -36,6 +36,7 @@ def _run_prediction(config):
     results = []
     for loader in get_test_loaders(config):
         results.append(predictor(loader))
+        predictor.finalize()
     return results
 
 
@@ -94,6 +95,7 @@ class TestStandardPredictor3D:
             predictor = get_predictor(model, variables, test_config)
             for loader in get_test_loaders(test_config):
                 predictor(loader)
+                predictor.finalize()
             with h5py.File(os.path.join(str(tmpdir), "test_predictions.h5"), "r") as f:
                 outputs[predictor_name] = f["predictions"][:]
 

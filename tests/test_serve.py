@@ -74,6 +74,7 @@ def test_serve_matches_batch_predict(tmpdir, server):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
     with h5py.File(os.path.join(str(tmpdir), "vol_predictions.h5"), "r") as f:
         batch_pred = f["predictions"][:]
 
@@ -158,6 +159,7 @@ def test_serve_global_normalization_matches_batch(tmpdir):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
     with h5py.File(os.path.join(str(tmpdir), "vol_predictions.h5"), "r") as f:
         batch_pred = f["predictions"][:]
 

@@ -104,6 +104,7 @@ def test_predictor_slab_coop_matches_unsharded(tmpdir):
         predictor = get_predictor(model, variables, config)
         for loader in get_test_loaders(config):
             predictor(loader)
+            predictor.finalize()
         out = os.path.join(str(tmpdir), "vol_predictions.h5")
         with h5py.File(out, "r") as f:
             return predictor, f["predictions"][:]

@@ -116,6 +116,7 @@ def _predict(config, model, variables):
     predictor = get_predictor(model, variables, config)
     for loader in get_test_loaders(config):
         predictor(loader)
+        predictor.finalize()
     out = os.path.join(config["loaders"]["output_dir"], "vol_predictions.h5")
     with h5py.File(out, "r") as f:
         return f["predictions"][:]
