@@ -90,8 +90,19 @@ def main():
     finally:
         # join the write-behind output write of the last volume (the device
         # predictor overlaps each volume's gzip H5 write with the next
-        # volume's read + sweep)
-        predictor.finalize()
+        # volume's sweep). When the loop is already unwinding with its own
+        # exception, a write failure here must not REPLACE it as the process
+        # failure — log it and let the primary propagate; on the clean path
+        # the write error is the failure and re-raises.
+        import sys
+
+        if sys.exc_info()[0] is None:
+            predictor.finalize()
+        else:
+            try:
+                predictor.finalize()
+            except Exception:  # noqa: BLE001
+                logger.exception("write-behind save ALSO failed while handling the error above")
 
     if metrics:
         metrics = np.asarray(metrics, dtype=np.float64)

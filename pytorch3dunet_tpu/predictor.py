@@ -350,6 +350,11 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             GroupNorm, parallel/spatial.py) when the model family allows it,
             so the slab geometry no longer idles chips; otherwise the
             grid-over-mesh split is kept.
+        write_behind: run the gzip H5 output write on a background thread so
+            the next volume's sweep overlaps it (default true). Costs up to
+            ~2x peak host memory on directory jobs (the previous volume's
+            full fp32 prediction stays alive during the next volume); set
+            false to restore inline saves on memory-constrained hosts.
         max_patch_voxels: padded-voxel budget for one slab forward in
             'slab' mode. The default 2**24 is conservative for f_maps=32
             bf16 on a 16 GB v5e; measured there: a 27.8M-voxel slab
@@ -359,9 +364,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
     """
 
     def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), patch_batch=None,
-                 patch_mode="grid", max_patch_voxels=2**24, **kwargs):
+                 patch_mode="grid", max_patch_voxels=2**24, write_behind=True, **kwargs):
         super().__init__(*args, **kwargs)
         self.blend = blend
+        self.write_behind = bool(write_behind)
         self.shard = shard
         self.max_device_voxels = max_device_voxels
         self.patch_batch = patch_batch
@@ -391,9 +397,12 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
         spatial_mesh = space_mesh(spatial_n, devices=jax.local_devices()) if spatial_n > 1 else None
         mesh = data_mesh(jax.local_devices()) if (spatial_mesh is None and self._mesh_active()) else None
-        patch_batch = self.patch_batch
+        # a planned full-plane patch_batch wins even over an explicit config
+        # value: the plan already clamps to the stack depth (an explicit 24
+        # on a 6-plane volume must not dispatch 18 dead forwards)
+        patch_batch = self._planned_patch_batch or self.patch_batch
         if patch_batch is None:
-            patch_batch = self._planned_patch_batch or (16 if is_model_2d(self.model) else 1)
+            patch_batch = 16 if is_model_2d(self.model) else 1
         if spatial_mesh is not None:
             patch_batch = 1
         # resolve the weighted tri-state BEFORE keying: weighted=None means
@@ -476,7 +485,14 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             # 32 -> 104.5 Mvox/s on 512x512 planes); tiled 2D grids keep the
             # default 16 (measured best there). An explicit patch_batch wins;
             # otherwise try 24 and step down to 16 if the budget refuses.
-            candidates = (self.patch_batch,) if self.patch_batch is not None else (24, 16)
+            # clamp by the stack depth: a 6-plane volume must not plan
+            # patch_batch=24 (the sweep would pad 6 starts to 24 — dead
+            # forwards — and the budget check could refuse 24 where 6 fit)
+            d = int(spatial[0])
+            if self.patch_batch is not None:
+                candidates = (min(self.patch_batch, d),)
+            else:
+                candidates = tuple(dict.fromkeys((min(24, d), min(16, d))))
             plan = None
             for pb in candidates:
                 plan = _plan_plane_grid(spatial, halo_shape, cin, self.max_patch_voxels, pb)
@@ -629,14 +645,21 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
 
         logger.info(f"Finished device inference in {time.perf_counter() - start:.2f} seconds")
 
-        if self.performance_metric is not None:
+        if self.performance_metric is not None or not self.write_behind:
             # the metric consumes the finalized array anyway: save inline
             prediction_array = self._save_output(prediction_array, dataset)
-            return self._evaluate(prediction_array, dataset)
+            if self.performance_metric is not None:
+                return self._evaluate(prediction_array, dataset)
+            return None
         # write-behind: the gzip H5 write runs on a background thread so the
-        # next volume's read + pad + sweep overlap it (directory jobs spend
-        # seconds per volume in gzip). finalize() joins the tail write —
-        # predict3dunet calls it after the last loader.
+        # next volume's sweep overlaps it (directory jobs spend seconds per
+        # volume in gzip; note h5py's global lock serializes the H5 *reads*
+        # of the next volume against this write, so the overlap is with the
+        # pad/upload/sweep, not the read). finalize() joins the tail write —
+        # predict3dunet calls it after the last loader. Host-memory cost:
+        # the previous volume's full (Cout, D, H, W) fp32 array stays alive
+        # while the next volume is processed (~2x peak RSS for directory
+        # jobs); `write_behind: false` restores inline saves.
         self._submit_write(prediction_array, dataset)
         return None
 
@@ -657,19 +680,35 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
     def _submit_write(self, prediction_array, dataset):
         from concurrent.futures import ThreadPoolExecutor
 
-        if self._writer is None:
-            self._writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="h5-write-behind")
         # depth-1 queue: at most one volume-sized write buffer is pending, and
         # the previous write's exceptions surface on the very next volume
+        # (finalize also retires an idle writer, so create ours after it)
         self.finalize()
-        self._write_future = self._writer.submit(self._save_output, prediction_array, dataset)
+        if self._writer is None:
+            self._writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="h5-write-behind")
+        future = self._writer.submit(self._save_output, prediction_array, dataset)
+        # safety net for callers that never finalize(): the data still lands
+        # (non-daemon worker joins at interpreter exit) but the error would be
+        # silently swallowed — log it as soon as the write settles
+        future.add_done_callback(
+            lambda f: logger.error(f"write-behind save failed: {f.exception()}") if f.exception() else None
+        )
+        self._write_future = future
 
     def finalize(self):
         """Drains the write-behind output write, re-raising its exception if
-        the write failed. Call after the last volume (predict3dunet does)."""
+        the write failed, and retires the idle writer thread. Call after the
+        last volume (predict3dunet does)."""
         future, self._write_future = self._write_future, None
-        if future is not None:
-            future.result()
+        try:
+            if future is not None:
+                future.result()
+        finally:
+            # nothing pending anymore: release the worker thread instead of
+            # leaking one idle non-daemon thread per predictor
+            if self._write_future is None and self._writer is not None:
+                self._writer.shutdown(wait=True)
+                self._writer = None
 
     def predict_array(self, volume: np.ndarray, patch_shape, stride_shape, halo_shape,
                       normalize=None, stats=None) -> np.ndarray:

@@ -536,15 +536,15 @@ def test_slab_mode_2d_plane_patch_batch_default(tmpdir):
                        "num_levels": 2, "final_sigmoid": False})
     plane = 64 * 64  # (0,0,0) halo keeps the padded plane = the plane
 
-    def plan(**kw):
+    def plan(depth=40, **kw):
         p = DeviceSlidingWindowPredictor(
             model, None, str(tmpdir), out_channels=2, patch_mode="slab", **kw)
         shape, starts, _ = p._plan_geometry(
-            (6, 64, 64), (1, 32, 32), np.zeros((4, 3), np.int32), (0, 0, 0), 1, None)
+            (depth, 64, 64), (1, 32, 32), np.zeros((4, 3), np.int32), (0, 0, 0), 1, None)
         return p, shape, starts
 
     p, shape, starts = plan(max_patch_voxels=24 * plane)
-    assert shape == (1, 64, 64) and len(starts) == 6
+    assert shape == (1, 64, 64) and len(starts) == 40
     assert p._planned_patch_batch == 24
 
     p, shape, _ = plan(max_patch_voxels=16 * plane)  # 24 refused, 16 fits
@@ -559,6 +559,21 @@ def test_slab_mode_2d_plane_patch_batch_default(tmpdir):
     p, shape, starts = plan(max_patch_voxels=8 * plane)
     assert shape == (1, 32, 32) and len(starts) == 4
     assert p._planned_patch_batch is None
+
+    # the stack depth clamps the plan: a 6-plane volume must not dispatch
+    # 24-way forwards (18 dead) nor let the budget refuse 24 where 6 fit —
+    # and an explicit patch_batch larger than the stack clamps too
+    p, shape, starts = plan(depth=6, max_patch_voxels=24 * plane)
+    assert shape == (1, 64, 64) and len(starts) == 6
+    assert p._planned_patch_batch == 6
+
+    p, shape, _ = plan(depth=6, max_patch_voxels=8 * plane)  # 6 fits under 8
+    assert shape == (1, 64, 64)
+    assert p._planned_patch_batch == 6
+
+    p, shape, _ = plan(depth=6, max_patch_voxels=24 * plane, patch_batch=16)
+    assert shape == (1, 64, 64)
+    assert p._planned_patch_batch == 6
 
 
 def test_write_behind_multi_volume(tmpdir):
