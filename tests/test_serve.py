@@ -191,3 +191,114 @@ def test_predict_array_streams_over_budget_volumes(tmpdir):
     streamed = streamed_predictor.predict_array(vol, (8, 24, 24), (8, 24, 24), (4, 8, 8),
                                                 normalize="standardize_patch", stats={})
     np.testing.assert_allclose(streamed, full, atol=2e-5)
+
+
+def _start_server(session):
+    srv = make_server(session, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_serve_request_size_limit():
+    """Content-Length over max_request_bytes -> 413 BEFORE the body is read."""
+    session = ServingSession(_serve_config(), max_request_bytes=1024)
+    srv, base = _start_server(session)
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((8, 24, 24), np.float32))
+        req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 413
+        assert "exceeds" in json.loads(err.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_serve_bearer_token_auth():
+    """With a token configured: /healthz stays open, everything else 401s
+    without `Authorization: Bearer <token>` and works with it."""
+    session = ServingSession(_serve_config(), token="s3cret")
+    srv, base = _start_server(session)
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            assert json.loads(resp.read()) == {"status": "ok"}
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{base}/info", timeout=30)
+        assert err.value.code == 401
+        assert err.value.headers.get("WWW-Authenticate", "").startswith("Bearer")
+
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((8, 24, 24), np.float32))
+        req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(), method="POST",
+                                     headers={"Authorization": "Bearer wrong"})
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 401
+
+        hdr = {"Authorization": "Bearer s3cret"}
+        with urllib.request.urlopen(
+                urllib.request.Request(f"{base}/info", headers=hdr), timeout=30) as resp:
+            assert json.loads(resp.read())["auth"] is True
+        req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(), method="POST", headers=hdr)
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            pred = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+        assert pred.shape == (2, 8, 24, 24)
+    finally:
+        srv.shutdown()
+
+
+def _serve_2d_config(global_norm=False):
+    cfg = {
+        "device": "cpu",
+        "model": {"name": "UNet2D", "in_channels": 1, "out_channels": 1, "layer_order": "gcr",
+                  "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": True},
+        "predictor": {"name": "DeviceSlidingWindowPredictor", "shard": False},
+        "loaders": {"test": {"slice_builder": {"name": "SliceBuilder", "patch_shape": [1, 24, 24],
+                                               "stride_shape": [1, 24, 24], "halo_shape": [0, 4, 4],
+                                               "skip_shape_check": True},
+                             "transformer": {"raw": [{"name": "Standardize"},
+                                                     {"name": "ToTensor", "expand_dims": True}]}}},
+    }
+    if global_norm:
+        cfg["loaders"]["global_normalization"] = True
+    return cfg
+
+
+@pytest.mark.parametrize("global_norm", [False, True])
+def test_serve_2d_microbatching_matches_direct(global_norm):
+    """Concurrent 2D requests coalesce into ONE bucket-padded dispatch whose
+    per-request outputs equal the unbatched path (per-patch stats batch
+    directly; volume-level stats host-apply + device normalize='none')."""
+    import time
+
+    session = ServingSession(_serve_2d_config(global_norm), batch_planes=8)
+    assert session._batcher is not None
+    rng = np.random.RandomState(11)
+    vols = [rng.rand(d, 24, 24).astype(np.float32) * 2 + 1 for d in (2, 3, 2)]
+    expected = [session._predict_direct(v, session._resolve_stats(v)) for v in vols]
+
+    # hold the device lock: the worker blocks on its first (singleton) item
+    # while the rest queue up, so the follow-up batch is deterministic
+    with session._lock:
+        futures = [session._batcher.submit(v, session._resolve_stats(v)) for v in vols]
+        time.sleep(0.3)
+    results = [f.result(timeout=600) for f in futures]
+
+    assert session._batcher.batched_dispatches >= 1
+    assert session._batcher.batched_requests >= 2
+    for got, want in zip(results, expected):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_serve_2d_oversize_request_skips_batcher():
+    """A request deeper than bucket_planes takes the direct path unchanged."""
+    session = ServingSession(_serve_2d_config(), batch_planes=4)
+    vol = np.random.RandomState(13).rand(6, 24, 24).astype(np.float32)
+    pred = session.predict(vol)
+    assert pred.shape == (1, 6, 24, 24)
+    np.testing.assert_allclose(
+        pred, session._predict_direct(vol, session._resolve_stats(vol)), atol=3e-5)
