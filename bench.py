@@ -34,6 +34,61 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 A100_REFERENCE_VOXELS_PER_SEC = 23e6
 
 PATCH = (80, 170, 170)
+
+# --- model-family presets (BENCH_NOTES r5) -------------------------------
+# Every previous TPU number was UNet3D gcr concat-join; these legs measure
+# the other BASELINE model families at their canonical recipe shapes:
+#   resunet3d   — ResidualUNet3D, the 3DUnet_lightsheet_boundary recipe
+#                 (reference resources/3DUnet_lightsheet_boundary/
+#                 train_config.yml: f_maps 32, gcr, patch 80x170x170, b=1);
+#                 sum-join + deconv decoder (reference buildingblocks.py:387-493).
+#   resunetse3d — ResidualUNetSE3D (model zoo; no recipe ships it) at the
+#                 same canonical 3D shape; adds cSE/sSE global pooling
+#                 (reference se.py:18-114).
+#   unet2d      — UNet2D TRAINING at the 2DUnet_dsb2018 recipe shape
+#                 (f_maps [32,64,128], layer_order bcr → BatchNorm,
+#                 256x256 crops, batch 32).
+FAMILY_PRESETS = {
+    "unet3d": (
+        None,  # filled in build_train_step from FMAPS
+        PATCH,
+        1,
+    ),
+    "resunet3d": (
+        {
+            "name": "ResidualUNet3D", "in_channels": 1, "out_channels": 1,
+            "f_maps": 32, "layer_order": "gcr", "num_groups": 8,
+            "final_sigmoid": True, "dtype": "bfloat16",
+        },
+        PATCH,
+        1,
+    ),
+    "resunetse3d": (
+        {
+            "name": "ResidualUNetSE3D", "in_channels": 1, "out_channels": 1,
+            "f_maps": 32, "layer_order": "gcr", "num_groups": 8,
+            "final_sigmoid": True, "dtype": "bfloat16",
+            # throughput-neutral: 5-level ResNet+SE diverges (NaN) within 100
+            # Adam steps at 2e-4 on random noise; the finiteness assert is an
+            # is-the-dispatch-real check, not a convergence claim
+            "_lr": 2e-5,
+        },
+        PATCH,
+        1,
+    ),
+    "unet2d": (
+        {
+            "name": "UNet2D", "in_channels": 1, "out_channels": 1,
+            "f_maps": [32, 64, 128], "layer_order": "bcr",
+            "final_sigmoid": True, "dtype": "bfloat16",
+        },
+        (256, 256),
+        32,
+    ),
+}
+# which single leg to run when set (raw measurement runs); the default main()
+# run measures the headline plus every family leg (P3DUNET_BENCH_FAMILIES)
+BENCH_MODEL = os.environ.get("P3DUNET_BENCH_MODEL", "unet3d")
 # experiment knobs (the shipping benchmark uses the defaults)
 BATCH = int(os.environ.get("P3DUNET_BENCH_BATCH", "1"))
 REMAT = os.environ.get("P3DUNET_BENCH_REMAT", "0") == "1"
@@ -61,95 +116,141 @@ PATCH_BATCH = int(os.environ.get("P3DUNET_BENCH_PATCH_BATCH", "1"))
 COMPILER_OPTIONS = json.loads(os.environ.get("P3DUNET_BENCH_COMPILER_OPTIONS", "null"))
 
 
-def build_train_step():
+def build_train_step(model_cfg=None, patch=None, batch=None):
     from pytorch3dunet_tpu.losses import BCEDiceLoss
     from pytorch3dunet_tpu.models import get_model
     from pytorch3dunet_tpu.utils.optim import create_optimizer
 
-    model = get_model({
-        "name": "UNet3D",
-        "in_channels": 1,
-        "out_channels": 1,
-        "f_maps": FMAPS,
-        "layer_order": "gcr",
-        "num_groups": 8,
-        "final_sigmoid": True,
-        "dtype": "bfloat16",
-        "remat": REMAT,
-    })
+    if model_cfg is None:
+        model_cfg = {
+            "name": "UNet3D",
+            "in_channels": 1,
+            "out_channels": 1,
+            "f_maps": FMAPS,
+            "layer_order": "gcr",
+            "num_groups": 8,
+            "final_sigmoid": True,
+            "dtype": "bfloat16",
+            "remat": REMAT,
+        }
+    patch = PATCH if patch is None else patch
+    batch = BATCH if batch is None else batch
+    model_cfg = dict(model_cfg)
+    lr = model_cfg.pop("_lr", 2e-4)
+    model = get_model(model_cfg)
     loss_criterion = BCEDiceLoss()
-    opt_cfg = {"name": "Adam", "learning_rate": 2e-4}
+    opt_cfg = {"name": "Adam", "learning_rate": lr}
     if os.environ.get("P3DUNET_BENCH_ADAM_MU"):  # e.g. bfloat16
         opt_cfg["mu_dtype"] = os.environ["P3DUNET_BENCH_ADAM_MU"]
     tx = create_optimizer(opt_cfg)
 
     # jit the whole init: one dispatch instead of hundreds of eager ops
     # (the host<->device link is high-latency in this environment)
-    example = jnp.zeros((1, 16, 32, 32, 1), dtype=jnp.float32)
+    rank = model.spatial_rank
+    example = jnp.zeros((1,) + (16, 32, 32)[3 - rank :], dtype=jnp.float32)[..., None]
     variables = jax.jit(lambda rng, x: model.module.init(rng, x, train=False))(jax.random.PRNGKey(0), example)
     opt_state = tx.init(variables["params"])
+    # mutable collections beyond params (BatchNorm batch_stats for 'b' orders)
+    # advance through the scan carry, exactly like trainer._build_train_step
+    mutable_keys = [k for k in variables if k != "params"]
 
-    def microbatch_grads(params, rng):
+    def microbatch_grads(variables, rng):
         # generate the batch on device: the benchmark measures compute, not
         # the host link (which is tunneled in this environment)
         kx, ky, kd = jax.random.split(rng, 3)
-        x = jax.random.uniform(kx, (BATCH, *PATCH, 1), dtype=jnp.float32)
-        y = (jax.random.uniform(ky, (BATCH, *PATCH, 1)) > 0.5).astype(jnp.float32)
+        x = jax.random.uniform(kx, (batch, *patch, 1), dtype=jnp.float32)
+        y = (jax.random.uniform(ky, (batch, *patch, 1)) > 0.5).astype(jnp.float32)
+        aux_state = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
             # train=True + dropout rng: literally the trainer's jitted step
             # (trainer.py _build_train_step); 'gcr' has no dropout layers but
             # the benchmarked program must match the production one.
-            probs, logits = model.module.apply(
-                {"params": p}, x, train=True, rngs={"dropout": kd}
-            )
-            return loss_criterion(logits, y)
+            all_vars = {"params": p, **aux_state}
+            if mutable_keys:
+                (probs, logits), new_state = model.module.apply(
+                    all_vars, x, train=True, rngs={"dropout": kd}, mutable=mutable_keys
+                )
+            else:
+                probs, logits = model.module.apply(all_vars, x, train=True, rngs={"dropout": kd})
+                new_state = {}
+            return loss_criterion(logits, y), new_state
 
-        return jax.value_and_grad(loss_fn)(params)
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        return loss, new_state, grads
 
     def train_step(carry, _):
-        params, opt_state, rng = carry
+        variables, opt_state, rng = carry
         rng, k0 = jax.random.split(rng)
         if ACCUM == 1:
-            loss, grads = microbatch_grads(params, k0)
+            loss, new_state, grads = microbatch_grads(variables, k0)
         else:
             # trainer._accumulation_round's math: average k microbatch grads,
             # one optimizer update (each microbatch at the batch-1 sweet spot)
-            losses, accs = [], None
+            losses, accs, new_state = [], None, {}
             for k in jax.random.split(k0, ACCUM):
-                loss_k, g = microbatch_grads(params, k)
+                loss_k, new_state, g = microbatch_grads(variables, k)
+                variables = {**variables, **new_state}
                 losses.append(loss_k)
                 accs = g if accs is None else jax.tree_util.tree_map(jnp.add, accs, g)
             grads = jax.tree_util.tree_map(lambda g: g / ACCUM, accs)
             loss = sum(losses) / ACCUM
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return (new_params, new_opt_state, rng), loss
+        updates, new_opt_state = tx.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        new_variables = {**variables, "params": new_params, **new_state}
+        return (new_variables, new_opt_state, rng), loss
 
     def train_step_ema(carry, _):
-        params, ema, opt_state, rng = carry
-        (params, opt_state, rng), loss = train_step((params, opt_state, rng), None)
+        variables, ema, opt_state, rng = carry
+        (variables, opt_state, rng), loss = train_step((variables, opt_state, rng), None)
         d = 0.999  # trainer._ema_step's tree_map, fused into the scan body
-        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
-        return (params, ema, opt_state, rng), loss
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p, ema, variables["params"])
+        return (variables, ema, opt_state, rng), loss
 
-    def run_steps(params, opt_state, rng, n):
+    def run_steps(variables, opt_state, rng, n):
         # N steps in one device program: a single dispatch, immune to the
         # host<->device tunnel latency of this environment
         if EMA:
-            ema0 = jax.tree_util.tree_map(jnp.copy, params)
-            (params, ema, opt_state, rng), losses = jax.lax.scan(
-                train_step_ema, (params, ema0, opt_state, rng), None, length=n
+            ema0 = jax.tree_util.tree_map(jnp.copy, variables["params"])
+            (variables, ema, opt_state, rng), losses = jax.lax.scan(
+                train_step_ema, (variables, ema0, opt_state, rng), None, length=n
             )
             # fold a hash of the EMA into the loss read so it cannot be DCE'd
             losses = losses + 0.0 * jax.tree_util.tree_leaves(ema)[0].ravel()[0]
         else:
-            (params, opt_state, rng), losses = jax.lax.scan(
-                train_step, (params, opt_state, rng), None, length=n
+            (variables, opt_state, rng), losses = jax.lax.scan(
+                train_step, (variables, opt_state, rng), None, length=n
             )
-        return params, opt_state, losses[-1]
+        return variables, opt_state, losses[-1]
 
-    return run_steps, variables["params"], opt_state
+    return run_steps, variables, opt_state, (batch, patch)
+
+
+def measure_train(model_cfg=None, patch=None, batch=None, n_steps=None):
+    """One train leg: compile, warm, best-of-3 timed dispatches -> voxels/sec."""
+    run_steps, variables, opt_state, (b, p) = build_train_step(model_cfg, patch, batch)
+    n_steps = N_STEPS if n_steps is None else n_steps
+    run = jax.jit(run_steps, static_argnums=(3,), donate_argnums=(0, 1),
+                  compiler_options=COMPILER_OPTIONS)
+
+    # warmup (compile); a different rng key than the timed run so no result
+    # caching layer can alias the two computations
+    variables, opt_state, loss = run(variables, opt_state, jax.random.PRNGKey(7), n_steps)
+    _ = float(loss)
+
+    # best-of-3: each timed region is one device-bound dispatch of n_steps
+    # real steps; transient tunnel/host degradation only ever inflates dt, so
+    # min(dt) measures the chip (a degraded sample once read 20% low —
+    # BENCH_NOTES r4). Every repeat advances real state (donated params, new
+    # rng key), so no caching layer can alias the dispatches.
+    dt = float("inf")
+    for seed in (42, 43, 44):
+        t0 = time.perf_counter()
+        variables, opt_state, loss = run(variables, opt_state, jax.random.PRNGKey(seed), n_steps)
+        final_loss = float(loss)  # forces completion
+        dt = min(dt, (time.perf_counter() - t0) / n_steps)
+        assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
+    return ACCUM * b * int(np.prod(p)) / dt
 
 
 def measure_predict(vol=(128, 320, 320), patch=(64, 160, 160), halo=(8, 16, 16), n_sweeps: int = 5):
@@ -216,29 +317,18 @@ def measure_predict(vol=(128, 320, 320), patch=(64, 160, 160), halo=(8, 16, 16),
 
 
 def main():
-    run_steps, params, opt_state = build_train_step()
-    n_steps = N_STEPS
-    run = jax.jit(run_steps, static_argnums=(3,), donate_argnums=(0, 1),
-                  compiler_options=COMPILER_OPTIONS)
+    if BENCH_MODEL != "unet3d":
+        # single-family raw-measurement mode (BENCH_NOTES r5 family table)
+        cfg, patch, batch = FAMILY_PRESETS[BENCH_MODEL]
+        vps = measure_train(cfg, patch, batch)
+        print(json.dumps({
+            "metric": f"{BENCH_MODEL} train voxels/sec/chip (bf16)",
+            "value": round(vps, 1), "unit": "voxels/sec",
+            "vs_baseline": round(vps / A100_REFERENCE_VOXELS_PER_SEC, 3),
+        }))
+        return
 
-    # warmup (compile); a different rng key than the timed run so no result
-    # caching layer can alias the two computations
-    params, opt_state, loss = run(params, opt_state, jax.random.PRNGKey(7), n_steps)
-    _ = float(loss)
-
-    # best-of-3: each timed region is one device-bound dispatch of n_steps
-    # real steps; transient tunnel/host degradation only ever inflates dt, so
-    # min(dt) measures the chip (a degraded sample once read 20% low —
-    # BENCH_NOTES r4). Every repeat advances real state (donated params, new
-    # rng key), so no caching layer can alias the dispatches.
-    dt = float("inf")
-    for seed in (42, 43, 44):
-        t0 = time.perf_counter()
-        params, opt_state, loss = run(params, opt_state, jax.random.PRNGKey(seed), n_steps)
-        final_loss = float(loss)  # forces completion
-        dt = min(dt, (time.perf_counter() - t0) / n_steps)
-        assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
-    voxels_per_sec = ACCUM * BATCH * int(np.prod(PATCH)) / dt
+    voxels_per_sec = measure_train()
 
     result = {
         "metric": f"UNet3D train + sliding-window predict voxels/sec/chip (f_maps={FMAPS}, bf16)",
@@ -264,6 +354,19 @@ def main():
         grid_vps = measure_predict()
         result["predict_grid"] = round(grid_vps, 1)
         result["predict_grid_vs_baseline"] = round(grid_vps / 67e6, 3)
+    # model-family train legs (r4 verdict #1): every earlier TPU number was
+    # UNet3D-only; record ResidualUNet3D / ResidualUNetSE3D / UNet2D-train
+    # throughput at their canonical recipe shapes. Each leg degrades
+    # gracefully (omitted field) rather than failing the whole artifact.
+    if os.environ.get("P3DUNET_BENCH_FAMILIES", "1") == "1":
+        for fam in ("resunet3d", "resunetse3d", "unet2d"):
+            cfg, patch, batch = FAMILY_PRESETS[fam]
+            try:
+                result[f"train_{fam}"] = round(measure_train(cfg, patch, batch), 1)
+            except Exception as e:  # noqa: BLE001 — a family leg must not sink the artifact
+                import sys
+
+                print(f"family leg {fam} failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
