@@ -39,14 +39,51 @@ def to_metric_layout(output, target, is3d: bool = True):
     return out, tar
 
 
-def _per_channel_dice_np(input, target, epsilon=1e-6):
-    assert input.shape == target.shape
-    C = input.shape[1]
-    inp = np.moveaxis(input, 1, 0).reshape(C, -1).astype(np.float64)
-    tar = np.moveaxis(target, 1, 0).reshape(C, -1).astype(np.float64)
-    intersect = (inp * tar).sum(-1)
-    denominator = (inp * inp).sum(-1) + (tar * tar).sum(-1)
-    return 2 * (intersect / np.clip(denominator, epsilon, None))
+# --------------------------------------------------------------------------
+# small shared pieces (threshold handling, connected components, channel
+# selection) used by several metric families below
+
+
+def _threshold_list(thresholds, default):
+    """Validated probability-threshold list with a per-metric default."""
+    if thresholds is None:
+        return list(default)
+    assert isinstance(thresholds, list)
+    return thresholds
+
+
+def _connected_components(mask):
+    """Labels a boolean/uint8 foreground mask (4-connectivity, bg=0)."""
+    return label(np.ascontiguousarray(mask, dtype=np.uint8), background=0, connectivity=1)
+
+
+def _threshold_and_label(pmap, thresholds, invert=False):
+    """Segmentations from one probability map: one connected-components pass
+    per threshold; `invert` treats the ABOVE-threshold region as background
+    (boundary maps: cells are the space between boundaries)."""
+    fg_masks = ((pmap <= th) if invert else (pmap > th) for th in thresholds)
+    return [_connected_components(m) for m in fg_masks]
+
+
+def _squeeze_target_channel(target, use_last):
+    """(N, C, ...) -> (N, ...): the label channel is either the last one
+    (use_last_target — extra channels carry auxiliary training targets) or
+    the first."""
+    return target[:, -1 if use_last else 0, ...]
+
+
+def _sq_sum(a, axes):
+    return np.sum(a * a, axis=axes)
+
+
+def _channel_dice(pred, truth, epsilon):
+    """Per-channel V-Net Dice (squared-denominator) on probabilities."""
+    n_ch = pred.shape[1]
+    p = np.moveaxis(pred, 1, 0).reshape(n_ch, -1).astype(np.float64)
+    t = np.moveaxis(truth, 1, 0).reshape(n_ch, -1).astype(np.float64)
+    overlap = np.einsum("ij,ij->i", p, t)
+    norm = _sq_sum(p, -1) + _sq_sum(t, -1)
+    return 2.0 * overlap / np.clip(norm, epsilon, None)
 
 
 class DiceCoefficient:
@@ -55,8 +92,10 @@ class DiceCoefficient:
     def __init__(self, epsilon=1e-6, **kwargs):
         self.epsilon = epsilon
 
-    def __call__(self, input, target):
-        return float(np.mean(_per_channel_dice_np(np.asarray(input), np.asarray(target), epsilon=self.epsilon)))
+    def __call__(self, pred, truth):
+        pred, truth = np.asarray(pred), np.asarray(truth)
+        assert pred.shape == truth.shape
+        return float(np.mean(_channel_dice(pred, truth, self.epsilon)))
 
 
 class MeanIoU:
@@ -69,38 +108,35 @@ class MeanIoU:
     def __init__(self, skip_background=True, **kwargs):
         self.skip_background = skip_background
 
-    def __call__(self, input, target):
-        input = np.asarray(input)
-        target = np.asarray(target)
-        assert input.ndim == 5
-
-        n_classes = input.shape[1]
-        channelwise = target.ndim == 5
-        if not channelwise:
-            input = input.argmax(axis=1)
-
-        assert input.shape == target.shape
-
-        per_batch_iou = []
-        for _input, _target in zip(input, target):
-            per_channel_iou = []
-            start_idx = 1 if (self.skip_background and not channelwise) else 0
-            for c in range(start_idx, n_classes):
-                if channelwise:
-                    iou = self._jaccard_index(_input[c] > 0.5, _target[c].astype(bool))
-                else:
-                    iou = self._jaccard_index(_input == c, _target == c)
-                per_channel_iou.append(iou)
-            assert per_channel_iou, "All channels were ignored from the computation"
-            per_batch_iou.append(np.mean(per_channel_iou))
-        return float(np.mean(per_batch_iou))
-
     @staticmethod
-    def _jaccard_index(prediction, target):
-        epsilon = 1e-8
-        intersection = np.logical_and(target, prediction).sum()
-        union = np.logical_or(target, prediction).sum()
-        return (intersection + epsilon) / (union + epsilon)
+    def _iou(pred_mask, truth_mask):
+        eps = 1e-8
+        overlap = np.count_nonzero(pred_mask & truth_mask)
+        union = np.count_nonzero(pred_mask | truth_mask)
+        return (overlap + eps) / (union + eps)
+
+    def _volume_iou(self, pred, truth, n_classes, channelwise):
+        if channelwise:
+            classes = range(n_classes)
+            pairs = ((pred[c] > 0.5, truth[c].astype(bool)) for c in classes)
+        else:
+            classes = range(1 if self.skip_background else 0, n_classes)
+            pairs = ((pred == c, truth == c) for c in classes)
+        scores = [self._iou(p, t) for p, t in pairs]
+        assert scores, "every class was excluded from the IoU computation"
+        return np.mean(scores)
+
+    def __call__(self, pred, truth):
+        pred, truth = np.asarray(pred), np.asarray(truth)
+        assert pred.ndim == 5
+        n_classes = pred.shape[1]
+        channelwise = truth.ndim == 5
+        if not channelwise:
+            pred = pred.argmax(axis=1)
+        assert pred.shape == truth.shape
+        return float(np.mean(
+            [self._volume_iou(p, t, n_classes, channelwise) for p, t in zip(pred, truth)]
+        ))
 
 
 class AdaptedRandError:
@@ -111,40 +147,28 @@ class AdaptedRandError:
         self.use_last_target = use_last_target
         self.ignore_index = ignore_index
 
-    def __call__(self, input, target):
-        input = np.asarray(input)
-        target = np.asarray(target)
-        if self.use_last_target:
-            target = target[:, -1, ...]
-        else:
-            target = target[:, 0, ...]
-        target = target.astype(np.int32)
+    def _volume_arand(self, pred, truth):
+        if (truth == truth.flat[0]).all():
+            # a constant ground truth makes the Rand score degenerate
+            logger.info("ARand skipped: ground truth contains a single label")
+            return 0.0
+        candidates = self.input_to_segm(pred)
+        assert candidates.ndim == 4
+        # best (minimum error) candidate segmentation wins
+        return min(adapted_rand_error(truth, seg)[0] for seg in candidates)
 
+    def __call__(self, pred, truth):
+        pred = np.asarray(pred)
+        truth = _squeeze_target_channel(np.asarray(truth), self.use_last_target).astype(np.int32)
         if self.ignore_index is not None:
-            target = target.copy()
-            target[target == self.ignore_index] = 0
+            truth = np.where(truth == self.ignore_index, 0, truth)
+        score = float(np.mean([self._volume_arand(p, t) for p, t in zip(pred, truth)]))
+        logger.info(f"ARand: {score}")
+        return score
 
-        per_batch_arand = []
-        for _input, _target in zip(input, target):
-            if np.all(_target == _target.flat[0]):
-                # single-label ground truth would cause a zero division
-                logger.info("Skipping ARandError computation: only 1 label present in the ground truth")
-                per_batch_arand.append(0.0)
-                continue
-
-            segm = self.input_to_segm(_input)
-            assert segm.ndim == 4
-
-            per_channel_arand = [adapted_rand_error(_target, channel_segm)[0] for channel_segm in segm]
-            per_batch_arand.append(np.min(per_channel_arand))
-
-        mean_arand = float(np.mean(per_batch_arand))
-        logger.info(f"ARand: {mean_arand}")
-        return mean_arand
-
-    def input_to_segm(self, input):
-        # by default the input is assumed to already be a segmentation volume
-        return input
+    def input_to_segm(self, pred):
+        # the network output is taken to already be a segmentation volume
+        return pred
 
 
 class BoundaryAdaptedRandError(AdaptedRandError):
@@ -154,27 +178,17 @@ class BoundaryAdaptedRandError(AdaptedRandError):
     def __init__(self, thresholds=None, use_last_target=True, ignore_index=None, input_channel=None,
                  invert_pmaps=True, **kwargs):
         super().__init__(use_last_target=use_last_target, ignore_index=ignore_index, **kwargs)
-        if thresholds is None:
-            thresholds = [0.3, 0.4, 0.5, 0.6]
-        assert isinstance(thresholds, list)
-        self.thresholds = thresholds
+        self.thresholds = _threshold_list(thresholds, (0.3, 0.4, 0.5, 0.6))
         self.input_channel = input_channel
         self.invert_pmaps = invert_pmaps
 
-    def input_to_segm(self, input):
-        if self.input_channel is not None:
-            input = np.expand_dims(input[self.input_channel], axis=0)
-
-        segs = []
-        for predictions in input:
-            for th in self.thresholds:
-                predictions_th = predictions > th
-                if self.invert_pmaps:
-                    # treat boundary signal as background for the CC analysis
-                    predictions_th = np.logical_not(predictions_th)
-                seg = label(predictions_th.astype(np.uint8), background=0, connectivity=1)
-                segs.append(seg)
-        return np.stack(segs)
+    def input_to_segm(self, pred):
+        channels = pred if self.input_channel is None else pred[self.input_channel][None]
+        return np.stack([
+            seg
+            for pmap in channels
+            for seg in _threshold_and_label(pmap, self.thresholds, invert=self.invert_pmaps)
+        ])
 
 
 class GenericAdaptedRandError(AdaptedRandError):
@@ -185,27 +199,17 @@ class GenericAdaptedRandError(AdaptedRandError):
         super().__init__(use_last_target=use_last_target, ignore_index=ignore_index, **kwargs)
         assert isinstance(input_channels, (list, tuple))
         self.input_channels = input_channels
-        if thresholds is None:
-            thresholds = [0.3, 0.4, 0.5, 0.6]
-        assert isinstance(thresholds, list)
-        self.thresholds = thresholds
+        self.thresholds = _threshold_list(thresholds, (0.3, 0.4, 0.5, 0.6))
         self.invert_channels = invert_channels or []
 
-    def input_to_segm(self, input):
-        results = []
-        for i in self.input_channels:
-            c = input[i]
-            if i in self.invert_channels:
-                c = 1 - c
-            results.append(c)
-        input = np.stack(results)
-
-        segs = []
-        for predictions in input:
-            for th in self.thresholds:
-                seg = label((predictions > th).astype(np.uint8), background=0, connectivity=1)
-                segs.append(seg)
-        return np.stack(segs)
+    def input_to_segm(self, pred):
+        pmaps = [
+            1 - pred[i] if i in self.invert_channels else pred[i]
+            for i in self.input_channels
+        ]
+        return np.stack([
+            seg for pmap in pmaps for seg in _threshold_and_label(pmap, self.thresholds)
+        ])
 
 
 class GenericAveragePrecision:
@@ -216,54 +220,43 @@ class GenericAveragePrecision:
         self.min_instance_size = min_instance_size
         self.use_last_target = use_last_target
         assert metric in ["ap", "acc"]
-        if metric == "ap":
-            self.metric = AveragePrecision()
+        self.metric = AveragePrecision() if metric == "ap" else Accuracy(iou_threshold=0.5)
+
+    def _volume_ap(self, idx, pred, truth):
+        candidates = self.input_to_seg(pred, truth)
+        assert candidates.ndim == 4
+        gt_seg = self._filter_instances(self.target_to_seg(truth))
+        scores = [self.metric(self._filter_instances(seg), gt_seg) for seg in candidates]
+        logger.info(f"Batch: {idx}. Max Average Precision for channel: {np.argmax(scores)}")
+        return np.max(scores)
+
+    def __call__(self, pred, truth):
+        truth = np.asarray(truth)
+        if truth.ndim == 5:
+            truth = _squeeze_target_channel(truth, self.use_last_target)
+        # multi-head nets (e.g. blob + boundary) hand a tuple of outputs to
+        # input_to_seg as a pair; single-head nets hand the array itself
+        if isinstance(pred, tuple):
+            per_volume = list(zip(*(np.asarray(p) for p in pred)))
         else:
-            self.metric = Accuracy(iou_threshold=0.5)
+            per_volume = list(np.asarray(pred))
+        return float(np.mean(
+            [self._volume_ap(i, p, t) for i, (p, t) in enumerate(zip(per_volume, truth))]
+        ))
 
-    def __call__(self, input, target):
-        target = np.asarray(target)
-        if target.ndim == 5:
-            if self.use_last_target:
-                target = target[:, -1, ...]
-            else:
-                target = target[:, 0, ...]
+    def _filter_instances(self, seg):
+        """Relabels instances smaller than min_instance_size to background."""
+        if self.min_instance_size is None:
+            return seg
+        ids, sizes = np.unique(seg, return_counts=True)
+        small = ids[sizes < self.min_instance_size]
+        return np.where(np.isin(seg, small), 0, seg)
 
-        input1 = input2 = np.asarray(input) if not isinstance(input, tuple) else None
-        multi_head = isinstance(input, tuple)
-        if multi_head:
-            input1, input2 = (np.asarray(i) for i in input)
-
-        batch_aps = []
-        for i_batch, (inp1, inp2, tar) in enumerate(zip(input1, input2, target)):
-            inp = (inp1, inp2) if multi_head else inp1
-
-            segs = self.input_to_seg(inp, tar)
-            assert segs.ndim == 4
-            tar = self.target_to_seg(tar)
-            tar = self._filter_instances(tar)
-
-            segs_aps = [self.metric(self._filter_instances(seg), tar) for seg in segs]
-            logger.info(f"Batch: {i_batch}. Max Average Precision for channel: {np.argmax(segs_aps)}")
-            batch_aps.append(np.max(segs_aps))
-
-        return float(np.mean(batch_aps))
-
-    def _filter_instances(self, input):
-        """Overrides instances smaller than min_instance_size with label 0."""
-        if self.min_instance_size is not None:
-            input = input.copy()
-            labels, counts = np.unique(input, return_counts=True)
-            for lbl, count in zip(labels, counts):
-                if count < self.min_instance_size:
-                    input[input == lbl] = 0
-        return input
-
-    def input_to_seg(self, input, target=None):
+    def input_to_seg(self, pred, truth=None):
         raise NotImplementedError
 
-    def target_to_seg(self, target):
-        return target
+    def target_to_seg(self, truth):
+        return truth
 
 
 class BlobsAveragePrecision(GenericAveragePrecision):
@@ -271,19 +264,11 @@ class BlobsAveragePrecision(GenericAveragePrecision):
 
     def __init__(self, thresholds=None, metric="ap", min_instance_size=None, input_channel=0, **kwargs):
         super().__init__(min_instance_size=min_instance_size, use_last_target=True, metric=metric)
-        if thresholds is None:
-            thresholds = [0.4, 0.5, 0.6, 0.7, 0.8]
-        assert isinstance(thresholds, list)
-        self.thresholds = thresholds
+        self.thresholds = _threshold_list(thresholds, (0.4, 0.5, 0.6, 0.7, 0.8))
         self.input_channel = input_channel
 
-    def input_to_seg(self, input, target=None):
-        input = input[self.input_channel]
-        segs = []
-        for th in self.thresholds:
-            mask = (input > th).astype(np.uint8)
-            segs.append(label(mask, background=0, connectivity=1))
-        return np.stack(segs)
+    def input_to_seg(self, pred, truth=None):
+        return np.stack(_threshold_and_label(pred[self.input_channel], self.thresholds))
 
 
 class BlobsBoundaryAveragePrecision(GenericAveragePrecision):
@@ -291,18 +276,11 @@ class BlobsBoundaryAveragePrecision(GenericAveragePrecision):
 
     def __init__(self, thresholds=None, metric="ap", min_instance_size=None, **kwargs):
         super().__init__(min_instance_size=min_instance_size, use_last_target=True, metric=metric)
-        if thresholds is None:
-            thresholds = [0.3, 0.4, 0.5, 0.6, 0.7]
-        assert isinstance(thresholds, list)
-        self.thresholds = thresholds
+        self.thresholds = _threshold_list(thresholds, (0.3, 0.4, 0.5, 0.6, 0.7))
 
-    def input_to_seg(self, input, target=None):
-        input = input[0] - input[1]
-        segs = []
-        for th in self.thresholds:
-            mask = (input > th).astype(np.uint8)
-            segs.append(label(mask, background=0, connectivity=1))
-        return np.stack(segs)
+    def input_to_seg(self, pred, truth=None):
+        # cells are where the mask probability clears the boundary probability
+        return np.stack(_threshold_and_label(pred[0] - pred[1], self.thresholds))
 
 
 class BoundaryAveragePrecision(GenericAveragePrecision):
@@ -310,18 +288,13 @@ class BoundaryAveragePrecision(GenericAveragePrecision):
 
     def __init__(self, thresholds=None, min_instance_size=None, input_channel=0, **kwargs):
         super().__init__(min_instance_size=min_instance_size, use_last_target=True)
-        if thresholds is None:
-            thresholds = [0.3, 0.4, 0.5, 0.6]
-        assert isinstance(thresholds, list)
-        self.thresholds = thresholds
+        self.thresholds = _threshold_list(thresholds, (0.3, 0.4, 0.5, 0.6))
         self.input_channel = input_channel
 
-    def input_to_seg(self, input, target=None):
-        input = input[self.input_channel]
-        segs = []
-        for th in self.thresholds:
-            segs.append(label(np.logical_not(input > th).astype(np.uint8), background=0, connectivity=1))
-        return np.stack(segs)
+    def input_to_seg(self, pred, truth=None):
+        return np.stack(
+            _threshold_and_label(pred[self.input_channel], self.thresholds, invert=True)
+        )
 
 
 class PSNR:
@@ -330,8 +303,8 @@ class PSNR:
     def __init__(self, **kwargs):
         pass
 
-    def __call__(self, input, target):
-        return float(peak_signal_noise_ratio(np.asarray(target), np.asarray(input)))
+    def __call__(self, pred, truth):
+        return float(peak_signal_noise_ratio(np.asarray(truth), np.asarray(pred)))
 
 
 class MSE:
@@ -340,8 +313,8 @@ class MSE:
     def __init__(self, **kwargs):
         pass
 
-    def __call__(self, input, target):
-        return float(mean_squared_error(np.asarray(input), np.asarray(target)))
+    def __call__(self, pred, truth):
+        return float(mean_squared_error(np.asarray(pred), np.asarray(truth)))
 
 
 def device_metric_fn(criterion):
@@ -415,7 +388,7 @@ def device_metric_fn(criterion):
 
 def get_evaluation_metric(config):
     """Builds the eval metric from config['eval_metric'] (metrics.py:461-479)."""
-    assert "eval_metric" in config, "Could not find evaluation metric configuration"
-    metric_config = config["eval_metric"]
-    metric_class = get_class(metric_config["name"], modules=["pytorch3dunet_tpu.metrics"])
-    return metric_class(**metric_config)
+    spec = config.get("eval_metric")
+    assert spec is not None, "config is missing the 'eval_metric' section"
+    cls = get_class(spec["name"], modules=["pytorch3dunet_tpu.metrics"])
+    return cls(**spec)
