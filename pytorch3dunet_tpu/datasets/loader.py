@@ -128,6 +128,8 @@ class DataLoader:
             # derive from the global RNG so `manual_seed` makes shuffling
             # deterministic (reference parity with torch's seeded generators)
             seed = int(np.random.randint(0, 2**31 - 1))
+        self._seed = seed
+        self._epoch = None
         self._rng = np.random.RandomState(seed)
         # base seed for process-worker augmentation RNGs (manual_seed-driven)
         self._worker_base_seed = int(np.random.randint(0, 2**31 - 1))
@@ -205,10 +207,24 @@ class DataLoader:
             nb = min(nb, self.max_batches)
         return nb
 
+    def set_epoch(self, epoch: int):
+        """Epoch-keyed deterministic shuffling (the torch
+        DistributedSampler.set_epoch analogue): once called, the epoch's
+        permutation is a pure function of (seed, epoch) instead of the
+        stateful RNG stream, so a run resumed from a checkpoint replays the
+        SAME batch order the uninterrupted run used at that epoch — required
+        for bit-identical checkpoint/resume trajectories (the trainer calls
+        this at the top of every epoch)."""
+        self._epoch = int(epoch)
+
     def _batch_indices(self):
         indices = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(indices)
+            if self._epoch is not None:
+                rng = np.random.RandomState((self._seed + 0x9E3779B1 * (self._epoch + 1)) % (2**31 - 1))
+            else:
+                rng = self._rng
+            rng.shuffle(indices)
         nb = len(self)
         for b in range(nb):
             yield indices[b * self.batch_size : (b + 1) * self.batch_size]

@@ -179,6 +179,7 @@ class UNetTrainer:
                 resume = None
         self._pending_resume = resume
         self._pending_pre_trained = pre_trained
+        self._resume_meta_done = False
         self._rng = jax.random.PRNGKey(seed if seed is not None else 0)
         self._train_step_fn = None
         self._eval_step_fn = None
@@ -227,6 +228,29 @@ class UNetTrainer:
 
     # ------------------------------------------------------------------ setup
 
+    def _resolve_resume_meta(self):
+        """Applies the resume checkpoint's counters/PRNG key EAGERLY.
+
+        fit() sizes its epoch range from `num_epochs` and `_train_groups`
+        keys the shuffle from it; the weights load lazily with the first
+        batch (`_ensure_initialized`), which is too late for either — a
+        resumed run would train `max_num_epochs` EXTRA epochs and replay the
+        wrong batch order. The weight/optimizer restore stays lazy (it needs
+        the initialized templates); counters are read here, idempotently.
+        """
+        if self._resume_meta_done or self._pending_resume is None:
+            return
+        self._resume_meta_done = True
+        state = load_checkpoint(self._pending_resume)
+        self.num_iterations = state["num_iterations"]
+        self.num_epochs = state["num_epochs"]
+        if state.get("best_eval_score") is not None:
+            self.best_eval_score = state["best_eval_score"]
+        if state.get("rng_state") is not None:
+            # the npz round-trip stores the key as a one-leaf pytree
+            # (list of arrays): normalize back to a raw (2,) uint32 key
+            self._rng = jnp.asarray(np.asarray(state["rng_state"]).reshape(2))
+
     def _ensure_initialized(self, example_input: np.ndarray):
         if self.variables is not None:
             return
@@ -258,6 +282,10 @@ class UNetTrainer:
                 self.best_eval_score = state["best_eval_score"]
             self.num_iterations = state["num_iterations"]
             self.num_epochs = state["num_epochs"]
+            if state.get("rng_state") is not None:
+                # the npz round-trip stores the key as a one-leaf pytree
+                # (list of arrays): normalize back to a raw (2,) uint32 key
+                self._rng = jnp.asarray(np.asarray(state["rng_state"]).reshape(2))
             logger.info(
                 f"Checkpoint loaded from '{self._pending_resume}'. Epoch: {state['num_epochs']}. "
                 f"Iteration: {state['num_iterations']}. Best val score: {state['best_eval_score']}."
@@ -481,6 +509,7 @@ class UNetTrainer:
     # ------------------------------------------------------------------- fit
 
     def fit(self):
+        self._resolve_resume_meta()  # BEFORE the range() below sees num_epochs
         try:
             for _ in range(self.num_epochs, self.max_num_epochs):
                 should_terminate = self.train()
@@ -509,6 +538,7 @@ class UNetTrainer:
 
     def train(self):
         """Trains for one epoch; returns True if training should stop now."""
+        self._resolve_resume_meta()  # no-op under fit(); direct train() callers
         train_losses = RunningAverage()
         train_eval_scores = RunningAverage()
 
@@ -637,7 +667,12 @@ class UNetTrainer:
         fewer microbatches would change the effective batch mid-training; the
         global-min epoch capping keeps the drop host-consistent multi-host).
         """
-        it = iter(self.loaders["train"])
+        train_loader = self.loaders["train"]
+        if hasattr(train_loader, "set_epoch"):
+            # epoch-keyed shuffle: a resumed run replays the same batch order
+            # the uninterrupted run used at this epoch (exact-resume support)
+            train_loader.set_epoch(self.num_epochs)
+        it = iter(train_loader)
         k = self.grad_accum_steps
         if k == 1:
             for t in it:
@@ -791,8 +826,17 @@ class UNetTrainer:
         }
         meta = {
             "num_epochs": self.num_epochs + 1,
-            "num_iterations": self.num_iterations,
+            # the save runs after this iteration's update landed, so the NEXT
+            # iteration number is the resume point: a resumed run's
+            # validate/log cadence then continues the uninterrupted run's
+            # exactly (the reference stores the pre-increment counter and
+            # re-runs one iteration number, trainer.py:396)
+            "num_iterations": self.num_iterations + 1,
             "best_eval_score": float(self.best_eval_score),
+            # the step/augment PRNG key: restoring it makes a resumed run's
+            # dropout/device-augment draws continue the interrupted stream
+            # instead of restarting at PRNGKey(seed) (exact-resume support)
+            "rng_state": np.asarray(jax.device_get(self._rng)),
         }
         if not self.async_checkpoint:
             state = {k: jax.device_get(v) for k, v in trees.items()}

@@ -97,8 +97,12 @@ def test_checkpoint_carries_ema_and_resume_restores(train_config, tmpdir):
     assert state.get("ema_state_dict"), "checkpoint must carry the EMA weights"
     saved_ema = state["ema_state_dict"]
 
-    # resume: the EMA tree is restored from the checkpoint, not re-seeded
+    # resume: the EMA tree is restored from the checkpoint, not re-seeded.
+    # The checkpoint stores num_epochs+1 (reference semantics, trainer.py:395):
+    # a mid-epoch save resumes at the NEXT epoch, so the epoch budget must
+    # grow along with the iteration budget for the resumed run to train.
     cfg2 = _configure(train_config, tmpdir, paths, "ckpt", iters=4)
+    cfg2["trainer"]["max_num_epochs"] = 2
     cfg2["trainer"]["resume"] = ckpt_path
     trainer2 = create_trainer(cfg2)
     seen = []

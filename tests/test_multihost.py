@@ -91,6 +91,104 @@ def test_two_process_distributed_train_step(tmpdir):
     assert iters[0] == iters[1], iters
 
 
+def _drill_env(pid, port):
+    env = dict(os.environ)
+    env.update({
+        "P3DUNET_COORDINATOR": f"127.0.0.1:{port}",
+        "P3DUNET_NUM_PROCESSES": "2",
+        "P3DUNET_PROCESS_ID": str(pid),
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    })
+    return env
+
+
+def test_multihost_failure_drill_resume_bit_identical(tmpdir):
+    """Failure drill (r4 verdict #7): one host dies mid-fit(), the survivor
+    stalls on the next collective, and `resume: auto` restarts BOTH hosts to
+    a trajectory bit-identical to an uninterrupted run (epoch-keyed loader
+    shuffling + the checkpointed step-PRNG key make the replay exact)."""
+    import signal as _signal
+
+    tmpdir = str(tmpdir)
+    rs = np.random.RandomState(3)
+    for name in ("d0.h5", "d1.h5", "dv.h5"):
+        with h5py.File(os.path.join(tmpdir, name), "w") as f:
+            f.create_dataset("raw", data=rs.rand(16, 64, 64))
+            f.create_dataset("label", data=(rs.rand(16, 64, 64) > 0.5).astype(np.float32))
+
+    worker = os.path.join(REPO, "tests", "multihost_resume_worker.py")
+
+    def launch(mode):
+        port = _free_port()
+        return [subprocess.Popen([sys.executable, worker, tmpdir, mode],
+                                 env=_drill_env(pid, port),
+                                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+                for pid in range(2)]
+
+    def finish(procs, expect_rc=(0, 0), timeout=840):
+        outputs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                out, _ = p.communicate()
+                pytest.fail(f"drill worker timed out; partial output:\n{out}")
+            outputs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outputs)):
+            assert p.returncode == expect_rc[pid], f"process {pid} rc={p.returncode}:\n{out}"
+        return outputs
+
+    # phase A: the uninterrupted oracle trajectory
+    full_out = finish(launch("full"))
+    assert all("FIT_DONE" in out for out in full_out), full_out
+
+    # phase B: process 1 dies mid-fit() right after epoch 0's checkpoint; the
+    # survivor must NOT be able to train on without it (its collective stalls
+    # until the coordination service notices the death or this test reaps it)
+    procs = launch("interrupted")
+    assert procs[1].wait(timeout=840) == -_signal.SIGKILL, "process 1 should die by SIGKILL"
+    try:
+        rc0 = procs[0].wait(timeout=30)
+        # the runtime may notice the peer death and abort the survivor on its
+        # own — any NONZERO exit is a correct failure mode
+        assert rc0 != 0, "survivor finished training without its peer"
+    except subprocess.TimeoutExpired:
+        procs[0].kill()  # stalled in the epoch-1 psum, as designed
+        procs[0].wait()
+    out0 = procs[0].stdout.read()
+    procs[0].stdout.close()
+    procs[1].stdout.close()
+    assert "DRILL_SURVIVOR_ENTERING_EPOCH1" in out0, out0
+    assert "FIT_DONE" not in out0, f"survivor must not complete the run alone:\n{out0}"
+    drill_ckpt = os.path.join(tmpdir, "ckpt_drill", "last_checkpoint.pytorch")
+    assert os.path.exists(drill_ckpt), "epoch-0 checkpoint must survive the crash"
+
+    # phase C: both hosts restart with resume: auto and finish the run
+    resumed_out = finish(launch("resumed"))
+    assert all("FIT_DONE" in out for out in resumed_out), resumed_out
+
+    # the resumed trajectory must equal the uninterrupted one BIT-FOR-BIT
+    from pytorch3dunet_tpu.utils.checkpoint import load_checkpoint
+
+    full = load_checkpoint(os.path.join(tmpdir, "ckpt_full", "last_checkpoint.pytorch"))
+    drill = load_checkpoint(drill_ckpt)
+    assert full["num_epochs"] == drill["num_epochs"]
+    assert full["num_iterations"] == drill["num_iterations"]
+    assert full["best_eval_score"] == drill["best_eval_score"]
+    import jax
+
+    for key in ("model_state_dict", "optimizer_state_dict"):
+        f_leaves, f_tree = jax.tree_util.tree_flatten(full[key])
+        d_leaves, d_tree = jax.tree_util.tree_flatten(drill[key])
+        assert f_tree == d_tree
+        for fl, dl in zip(f_leaves, d_leaves):
+            assert np.array_equal(np.asarray(fl), np.asarray(dl)), f"{key} leaf differs"
+
+
 def test_two_process_distributed_predict(tmpdir):
     """Multi-host prediction: files shard per host (sorted round-robin), each
     host sweeps its volumes over its LOCAL 2-device mesh and writes its own

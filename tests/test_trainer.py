@@ -232,7 +232,8 @@ def test_async_checkpoint_snapshot_survives_donation(train_config, tmpdir):
     at_iters, at_state = recorded[-1]
     checkpoint = os.path.join(config["trainer"]["checkpoint_dir"], "last_checkpoint.pytorch")
     state = load_checkpoint(checkpoint, trainer.variables)
-    assert state["num_iterations"] == at_iters
+    # the checkpoint stores the NEXT iteration number (the resume point)
+    assert state["num_iterations"] == at_iters + 1
     loaded = jax.tree_util.tree_leaves(state["model_state_dict"])
     live = jax.tree_util.tree_leaves(at_state)
     assert len(loaded) == len(live)
@@ -269,7 +270,7 @@ def test_async_checkpoint_snapshot_survives_donation(train_config, tmpdir):
     (fn, args, kwargs), = deferred
     fn(*args, **kwargs)  # the background write runs AFTER the donation
     state = load_checkpoint(checkpoint, trainer.variables)
-    assert state["num_iterations"] == expected_iters
+    assert state["num_iterations"] == expected_iters + 1  # resume point
     for a, b in zip(jax.tree_util.tree_leaves(state["model_state_dict"]),
                     jax.tree_util.tree_leaves(expected)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
