@@ -290,6 +290,67 @@ def _slab_starts(d, slab_z):
     return np.asarray([(z, 0, 0) for z in zs], dtype=np.int32)
 
 
+def _axis_starts(extent, size):
+    """Flush-tail tiling of one axis (the 1-D _slab_starts)."""
+    ss = list(range(0, extent - size + 1, size))
+    if ss[-1] + size < extent:
+        ss.append(extent - size)
+    return ss
+
+
+def _plan_strip_grid(spatial, patch_shape, halo_shape, cin, budget, min_strip=64):
+    """Intermediate 'strip' geometry between slab and grid (r4 verdict #3):
+    when the xy plane alone exceeds the budget (no full-plane slab can form),
+    plan full-x (or full-y) strips — one spatial axis spans the whole volume,
+    so interior seams (and their halo'd redundant compute) survive only on the
+    two SHORT axes. Redundancy lands between the slab's ~1.06x and the grid's
+    ~1.8x at the canonical halo.
+
+    Both orientations are scored by total padded compute (number of strips x
+    padded strip voxels, flush-tail coverage) and the cheaper one wins. Strips
+    thinner than `min_strip` (or the configured patch size) on either short
+    axis are refused, like thin slabs (measured loss, BENCH_NOTES r4).
+
+    Returns ((sz, sy, sx), starts) or None.
+    """
+    d, h, w = (int(s) for s in spatial)
+    hz, hy, hx = halo_shape
+    floor_z = max(min_strip, patch_shape[0])
+
+    def plan(full_axis):
+        # full_axis: 2 -> full-x strips (tile z, y); 1 -> full-y (tile z, x)
+        full_len, full_halo = (w, hx) if full_axis == 2 else (h, hy)
+        short_len, short_halo = (h, hy) if full_axis == 2 else (w, hx)
+        floor_s = max(min_strip, patch_shape[full_axis ^ 3])  # 2^3=1, 1^3=2
+        cells = int(budget) // ((full_len + 2 * full_halo) * cin)
+        best = None
+        for sz in range(min(d, floor_z), min(d, max(floor_z, cells)) + 1):
+            ss = cells // (sz + 2 * hz) - 2 * short_halo
+            ss = min(ss, short_len)
+            if ss < min(short_len, floor_s):
+                continue
+            n = len(_axis_starts(d, sz)) * len(_axis_starts(short_len, ss))
+            padded = n * (sz + 2 * hz) * (ss + 2 * short_halo) * (full_len + 2 * full_halo)
+            if best is None or padded < best[0]:
+                best = (padded, sz, ss)
+        if best is None:
+            return None
+        _, sz, ss = best
+        if full_axis == 2:
+            shape = (sz, ss, w)
+            starts = [(z, y, 0) for z in _axis_starts(d, sz) for y in _axis_starts(h, ss)]
+        else:
+            shape = (sz, h, ss)
+            starts = [(z, 0, x) for z in _axis_starts(d, sz) for x in _axis_starts(w, ss)]
+        return best[0], shape, np.asarray(starts, dtype=np.int32)
+
+    plans = [p for p in (plan(2), plan(1)) if p is not None]
+    if not plans:
+        return None
+    _, shape, starts = min(plans, key=lambda p: p[0])
+    return shape, starts
+
+
 def _plan_plane_grid(spatial, halo_shape, cin, budget, patch_batch):
     """2D arm of `patch_mode: slab`: full-plane singleton-z patches replace
     the xy tile grid — no tile borders, no redundant halo compute, and
@@ -515,11 +576,29 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
         plan = _plan_slab_grid(spatial, patch_shape, halo_shape, cin, self.max_patch_voxels)
         n_dev = len(jax.local_devices()) if self._mesh_active() else 1
         if plan is None:
-            logger.warning(
-                f"patch_mode 'slab': the {spatial[1]}x{spatial[2]} plane is too large for a "
-                f"worthwhile full-plane slab under max_patch_voxels={self.max_patch_voxels}; "
-                "keeping the configured patch grid"
-            )
+            # slab refused (plane too large / slabs too thin): try the strip
+            # geometry before surrendering to the grid — the planner prefers
+            # slab > strip > grid automatically
+            strip = _plan_strip_grid(spatial, patch_shape, halo_shape, cin, self.max_patch_voxels)
+            if strip is not None and (len(strip[1]) >= n_dev or n_dev > n_grid):
+                patch_shape, starts = strip
+                logger.info(
+                    f"patch_mode 'slab': no full-plane slab fits; {len(starts)} "
+                    f"{patch_shape[0]}x{patch_shape[1]}x{patch_shape[2]} strips replace the "
+                    f"{n_grid}-patch grid (halo only on the short axes)"
+                )
+                return patch_shape, starts, spatial_n
+            if strip is not None:
+                logger.info(
+                    f"patch_mode 'slab': {len(strip[1])} strips would idle "
+                    f"{n_dev - len(strip[1])} of {n_dev} devices; keeping the {n_grid}-patch grid"
+                )
+            else:
+                logger.warning(
+                    f"patch_mode 'slab': neither a full-plane slab nor a strip fits "
+                    f"max_patch_voxels={self.max_patch_voxels} for the {spatial[1]}x{spatial[2]} "
+                    "plane; keeping the configured patch grid"
+                )
         elif len(plan[1]) < n_dev:
             # fewer slabs than chips: first try COOPERATIVE sharding — every
             # slab's z-axis splits across the mesh (halo-exchanged convs +

@@ -433,6 +433,59 @@ def test_slab_plan_geometry():
     assert _plan_slab_grid((100, 512, 512), (16, 64, 64), (2, 2, 2), 1, budget=10000) is None
 
 
+def test_strip_plan_geometry():
+    # unit coverage of the strip planner (slab > strip > grid fallback)
+    from pytorch3dunet_tpu.predictor import _plan_slab_grid, _plan_strip_grid
+
+    spatial, patch, halo = (100, 96, 512), (16, 32, 32), (2, 2, 2)
+    budget = 2**21
+    # the xy plane alone exceeds this budget: no slab can form...
+    assert _plan_slab_grid(spatial, patch, halo, 1, budget=budget) is None
+    # ...but strips do: one spatial axis spans the full volume
+    shape, starts = _plan_strip_grid(spatial, patch, halo, 1, budget=budget)
+    sz, sy, sx = shape
+    assert sy == 96 or sx == 512, shape  # a full axis
+    # the padded strip respects the budget
+    assert (sz + 4) * (sy + 4) * (sx + 4) <= budget
+    # no strip axis thinner than the floor
+    assert sz >= 64 and sy >= 64 and sx >= 64
+    # flush-tail coverage is complete
+    cover = np.zeros(spatial, dtype=bool)
+    for z, y, x in starts:
+        assert z + sz <= 100 and y + sy <= 96 and x + sx <= 512, (z, y, x)
+        cover[z : z + sz, y : y + sy, x : x + sx] = True
+    assert cover.all()
+
+    # nothing >= the 64-voxel floor fits: no strip either
+    assert _plan_strip_grid((100, 512, 512), (16, 64, 64), (2, 2, 2), 1, budget=10000) is None
+
+
+def test_strip_mode_matches_explicit_grid(tmpdir, caplog):
+    # when the plane exceeds the budget, patch_mode 'slab' degrades to strips
+    # whose output must EXACTLY equal the explicit strip-shaped patch config
+    import logging
+
+    config = _make_config(tmpdir, shape=(8, 160, 96), halo=(2, 2, 2))
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [8, 64, 64]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [8, 64, 64]
+    model = get_model(config["model"])
+    variables = model.init(jax.random.PRNGKey(0))
+
+    # budget 100000: slab_z = 100000 // (164*100) - 4 = 2 < 8 -> slab refused;
+    # full-x strips (8, 79, 96) fit ((12*83*100 = 99600) <= budget)
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "patch_mode": "slab",
+                           "max_patch_voxels": 100000, "shard": False}
+    with caplog.at_level(logging.INFO):
+        strip = _predict(config, model, variables)
+    assert any("strips replace" in r.message for r in caplog.records)
+
+    config["predictor"] = {"name": "DeviceSlidingWindowPredictor", "shard": False}
+    config["loaders"]["test"]["slice_builder"]["patch_shape"] = [8, 79, 96]
+    config["loaders"]["test"]["slice_builder"]["stride_shape"] = [8, 79, 96]
+    explicit = _predict(config, model, variables)
+    np.testing.assert_allclose(strip, explicit, atol=1e-6)
+
+
 def test_slab_mode_matches_explicit_big_patch(tmpdir):
     # patch_mode 'slab' must produce EXACTLY the geometry an explicit
     # whole-plane patch config produces: same sweep, same output
