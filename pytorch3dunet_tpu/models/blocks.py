@@ -682,6 +682,31 @@ class Decoder(nn.Module):
                 xu = resize_spatial(xu, (xu.shape[1],) + tuple(target_spatial[1:]), mode="nearest")
                 xu = jnp.take(xu, spatial_deconv_fixup_indices(sp_axis, xin.shape[1]), axis=1)
                 x = pack(xu) if packed else xu
+            elif (
+                self.spatial_rank == 3
+                and strides == (2, 2, 2)
+                and kernel == (3, 3, 3)
+                and _os.environ.get("P3DUNET_DECONV", "phase") == "phase"
+            ):
+                # phase-decomposed transposed conv (ops/upconv.py): the same
+                # operator as 8 regular phase convs + one depth-to-space.
+                # XLA's conv_transpose lowering (conv over the zero-dilated
+                # input) measured catastrophically slow on v5e; this is
+                # exact (values AND 2n-1 output size) with the SAME parameter
+                # scope ('upsampling'/'kernel'), so checkpoints/torch interop
+                # are unaffected. P3DUNET_DECONV=xla restores the lowering.
+                from pytorch3dunet_tpu.ops.upconv import phase_conv_transpose
+
+                xin = unpack(x) if packed else x
+                w, _ = _ConvParams(
+                    (3, 3, 3, xin.shape[-1], self.out_channels), use_bias=False, name="upsampling"
+                )()
+                if self.dtype is not None:
+                    xin = xin.astype(self.dtype)
+                    w = w.astype(self.dtype)
+                xu = phase_conv_transpose(xin, w)
+                xu = resize_spatial(xu, target_spatial, mode="nearest")
+                x = pack(xu) if packed else xu
             else:
                 xu = nn.ConvTranspose(
                     self.out_channels,

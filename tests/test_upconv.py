@@ -172,3 +172,54 @@ def test_decoder_fused_fallback_on_non_2x_depth():
     assert out.shape == (1, 7, 6, 10, 8)
     # and the fused param names are still the generic ones
     assert "SingleConv1" in v["params"]["basic_module"]
+
+
+def test_phase_conv_transpose_matches_lax():
+    """phase_conv_transpose == lax.conv_transpose(k=3, s=2, padding (1,1)) —
+    values AND output size (2n-1), forward and gradients."""
+    from pytorch3dunet_tpu.ops.upconv import phase_conv_transpose
+
+    k = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (2, 3, 5, 4, 6))
+    W = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, 3, 6, 7))
+
+    def ref(x, W):
+        return jax.lax.conv_transpose(
+            x, W, (2, 2, 2), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    r = ref(x, W)
+    g = phase_conv_transpose(x, W)
+    assert g.shape == r.shape == (2, 5, 9, 7, 7)
+    np.testing.assert_allclose(g, r, atol=1e-4)
+
+    # gradients agree too (both are the same linear map, but the graphs
+    # differ completely — regular convs vs input-dilated)
+    ct = jax.random.normal(jax.random.fold_in(k, 3), r.shape)
+    gx_r, gw_r = jax.grad(lambda x, W: jnp.sum(ref(x, W) * ct), argnums=(0, 1))(x, W)
+    gx_g, gw_g = jax.grad(lambda x, W: jnp.sum(phase_conv_transpose(x, W) * ct), argnums=(0, 1))(x, W)
+    np.testing.assert_allclose(gx_g, gx_r, atol=1e-3)
+    np.testing.assert_allclose(gw_g, gw_r, atol=1e-3)
+
+
+def test_decoder_deconv_phase_matches_xla(monkeypatch):
+    """The Decoder's phase-decomposed deconv path == the nn.ConvTranspose
+    path: same params (scope 'upsampling'), same output."""
+    from pytorch3dunet_tpu.models.blocks import Decoder
+
+    dec = Decoder(out_channels=8, basic_module="ResNetBlock", conv_layer_order="gcr",
+                  num_groups=4, upsample_mode="deconv", concat=False)
+    k = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (1, 4, 5, 6, 8))
+    enc = jax.random.normal(jax.random.fold_in(k, 2), (1, 8, 10, 12, 8))
+
+    monkeypatch.setenv("P3DUNET_DECONV", "phase")
+    variables = dec.init(jax.random.PRNGKey(0), enc, x)
+    out_phase = dec.apply(variables, enc, x)
+
+    monkeypatch.setenv("P3DUNET_DECONV", "xla")
+    variables_x = dec.init(jax.random.PRNGKey(0), enc, x)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(variables_x)
+    out_xla = dec.apply(variables, enc, x)
+    np.testing.assert_allclose(out_phase, out_xla, atol=1e-4)
