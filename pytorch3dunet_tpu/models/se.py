@@ -11,12 +11,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _guard(x):
+    """Fusion barrier at the SE output (identity on the values).
+
+    On TPU in bfloat16, letting XLA fuse the SE gate multiply into the
+    downstream pooling backward miscompiles: whole param-grad leaves of the
+    enclosing encoder come back non-finite (same bad-element count across
+    unrelated spatial shapes; fp32 clean; the isolated SE layer clean; an
+    alternate pool lowering also clean — BENCH_NOTES r5, SE bf16 dossier).
+    `optimization_barrier` pins the SE output as a fusion boundary, which was
+    verified CLEAN on-chip at the repro config. Values are bit-identical.
+    """
+    return jax.lax.optimization_barrier(x)
+
+
 class ChannelSELayer3D(nn.Module):
     """Channel squeeze & excitation: global-average squeeze + 2-layer MLP gate."""
 
     num_channels: int
     reduction_ratio: int = 2
     dtype: jnp.dtype | None = None
+    guard_output: bool = True  # False only when a wrapper guards for us
 
     @nn.compact
     def __call__(self, x):
@@ -35,7 +50,8 @@ class ChannelSELayer3D(nn.Module):
         h = nn.Dense(self.num_channels, dtype=self.dtype, name="fc2")(h)
         gate = nn.sigmoid(h)
         gate = gate.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (self.num_channels,))
-        return x * gate
+        out = x * gate
+        return _guard(out) if self.guard_output else out
 
 
 class SpatialSELayer3D(nn.Module):
@@ -43,17 +59,24 @@ class SpatialSELayer3D(nn.Module):
 
     num_channels: int
     dtype: jnp.dtype | None = None
+    guard_output: bool = True
 
     @nn.compact
     def __call__(self, x):
         spatial_rank = x.ndim - 2
         gate = nn.Conv(1, kernel_size=(1,) * spatial_rank, dtype=self.dtype, name="conv")(x)
         gate = nn.sigmoid(gate)
-        return x * gate
+        out = x * gate
+        return _guard(out) if self.guard_output else out
 
 
 class ChannelSpatialSELayer3D(nn.Module):
-    """Concurrent channel + spatial SE combined with an element-wise max."""
+    """Concurrent channel + spatial SE combined with an element-wise max.
+
+    The two branches run unguarded (their outputs only feed the max, which is
+    materialized here anyway); one barrier at the combined output suffices —
+    that exact placement is the on-chip-verified leg H.
+    """
 
     num_channels: int
     reduction_ratio: int = 2
@@ -61,6 +84,8 @@ class ChannelSpatialSELayer3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cse = ChannelSELayer3D(self.num_channels, self.reduction_ratio, dtype=self.dtype, name="cSE")(x)
-        sse = SpatialSELayer3D(self.num_channels, dtype=self.dtype, name="sSE")(x)
-        return jnp.maximum(cse, sse)
+        cse = ChannelSELayer3D(self.num_channels, self.reduction_ratio, dtype=self.dtype,
+                               guard_output=False, name="cSE")(x)
+        sse = SpatialSELayer3D(self.num_channels, dtype=self.dtype,
+                               guard_output=False, name="sSE")(x)
+        return _guard(jnp.maximum(cse, sse))

@@ -120,3 +120,40 @@ def test_residual_unet_anisotropic_kernel():
     variables = model.init(jax.random.PRNGKey(0), patch_shape=(4, 16, 16))
     probs, logits = model.apply(variables, model.example_input((4, 16, 16)))
     assert logits.shape == (1, 4, 16, 16, 2)
+
+
+def test_se_guard_is_identity_and_present():
+    """The SE fusion guard (models/se.py:_guard) must not change values, and
+    the barrier must actually appear in the traced graph: on TPU/bf16 the SE
+    gate multiply fused into the pooling backward miscompiles whole
+    param-grad leaves (BENCH_NOTES r5 SE dossier); the barrier is the fix."""
+    import jax.numpy as jnp
+
+    import pytorch3dunet_tpu.models.se as se_mod
+
+    cfg = {
+        "name": "ResidualUNetSE3D",
+        "in_channels": 1,
+        "out_channels": 1,
+        "f_maps": 8,
+        "num_groups": 4,
+        "num_levels": 2,
+        "final_sigmoid": True,
+    }
+    model = get_model(cfg)
+    x = np.random.RandomState(11).rand(1, 8, 16, 16, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), patch_shape=(8, 16, 16))
+    probs_guarded, _ = model.apply(variables, x)
+
+    # the barrier is in the graph (forward AND the grad graph keep it)
+    jaxpr = jax.make_jaxpr(lambda v: model.apply(v, x)[0].sum())(variables)
+    assert "optimization_barrier" in str(jaxpr)
+
+    # identity on the values: monkeypatch the guard away and compare
+    orig = se_mod._guard
+    se_mod._guard = lambda t: t
+    try:
+        probs_plain, _ = model.apply(variables, x)
+    finally:
+        se_mod._guard = orig
+    np.testing.assert_array_equal(np.asarray(probs_guarded), np.asarray(probs_plain))
