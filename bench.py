@@ -89,6 +89,18 @@ FAMILY_PRESETS = {
         32,
     ),
 }
+# train-step conv+matmul FLOPs per voxel, counted from the differentiated
+# jaxpr of the exact step each leg times (tools/familyflops.py). Family
+# vs_baseline uses the MATCHED denominator: the same A100 estimate method as
+# the canonical 23 Mvox/s, scaled to the family's own FLOP/vox (same chip,
+# same assumed utilization, more work per voxel -> proportionally fewer
+# voxels/sec on the reference side).
+FAMILY_MFLOP_PER_VOX = {
+    "unet3d": 1.361,
+    "resunet3d": 1.893,
+    "resunetse3d": 1.893,
+    "unet2d": 0.554,
+}
 # which single leg to run when set (raw measurement runs); the default main()
 # run measures the headline plus every family leg (P3DUNET_BENCH_FAMILIES)
 BENCH_MODEL = os.environ.get("P3DUNET_BENCH_MODEL", "unet3d")
@@ -327,10 +339,14 @@ def main():
         # single-family raw-measurement mode (BENCH_NOTES r5 family table)
         cfg, patch, batch = FAMILY_PRESETS[BENCH_MODEL]
         vps = measure_train(cfg, patch, batch)
+        matched = A100_REFERENCE_VOXELS_PER_SEC * (
+            FAMILY_MFLOP_PER_VOX["unet3d"] / FAMILY_MFLOP_PER_VOX[BENCH_MODEL]
+        )
         print(json.dumps({
             "metric": f"{BENCH_MODEL} train voxels/sec/chip (bf16)",
             "value": round(vps, 1), "unit": "voxels/sec",
-            "vs_baseline": round(vps / A100_REFERENCE_VOXELS_PER_SEC, 3),
+            "vs_baseline": round(vps / matched, 3),
+            "effective_tflops": round(vps * FAMILY_MFLOP_PER_VOX[BENCH_MODEL] / 1e6, 1),
         }))
         return
 
@@ -368,7 +384,12 @@ def main():
         for fam in ("resunet3d", "resunetse3d", "unet2d"):
             cfg, patch, batch = FAMILY_PRESETS[fam]
             try:
-                result[f"train_{fam}"] = round(measure_train(cfg, patch, batch), 1)
+                fam_vps = measure_train(cfg, patch, batch)
+                result[f"train_{fam}"] = round(fam_vps, 1)
+                matched = A100_REFERENCE_VOXELS_PER_SEC * (
+                    FAMILY_MFLOP_PER_VOX["unet3d"] / FAMILY_MFLOP_PER_VOX[fam]
+                )
+                result[f"train_{fam}_vs_baseline"] = round(fam_vps / matched, 3)
             except Exception as e:  # noqa: BLE001 — a family leg must not sink the artifact
                 import sys
 
