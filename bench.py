@@ -68,13 +68,10 @@ FAMILY_PRESETS = {
             "name": "ResidualUNetSE3D", "in_channels": 1, "out_channels": 1,
             "f_maps": 32, "layer_order": "gcr", "num_groups": 8,
             "final_sigmoid": True, "dtype": "bfloat16",
-            # throughput-neutral stabilizers: 5-level ResNet+SE diverges (NaN)
-            # within a few hundred Adam steps on random noise (2e-5 still
-            # NaN'd on-chip at 400 steps); clip+tiny LR keep the finiteness
-            # assert meaningful — it is an is-the-dispatch-real check, not a
-            # convergence claim
-            "_lr": 1e-6,
-            "_clip": 1.0,
+            # no stabilizers: the "divergence" that originally motivated a
+            # clip+tiny-LR pair here was the SE/pool fusion miscompile
+            # (BENCH_NOTES r5 SE dossier); with the barrier fix a 400-step
+            # Adam run at the standard 2e-4 stays finite on-chip (se_nostab)
         },
         PATCH,
         1,

@@ -249,6 +249,15 @@ SHAPES = [
     ("L1 192->64", (1, 40, 86, 86, 192), 64),  # 86: Winograd wants even H,W
 ]
 
+# FFT legs run at reduced spatial extents: the complex64 spectra are 8x the
+# bf16 activation bytes, and at the canonical shapes above the spectrum pair
+# alone blows past HBM (which is itself the first measurement). These are the
+# largest same-channel-mix shapes that fit the blowup.
+FFT_SHAPES = [
+    ("fft-quarter 32->32", (1, 40, 86, 86, 32), 32),
+    ("fft-L1 192->64", (1, 20, 44, 44, 192), 64),
+]
+
 
 def main(which):
     if "check" in which:
@@ -272,11 +281,21 @@ def main(which):
                 ("as-2d igrad", lambda x, w, g, s: igrad(conv3d_as_2d, x, w, g, s), (x, w, g), 10),
                 ("winograd igrad", lambda x, w, g, s: igrad(winograd_conv3d, x, w, g, s), (x, w, g), 10),
             ]
-        if "fft" in which and np.prod(xshape) < 30e6:
-            legs += [("fft fwd", fft_conv3d, (x, w), 4)]
         for label, fn, args, n in legs:
             dt = timeit(fn, args, n=n, label=f"{name} {label}")
             print(f"   -> {flops/dt/1e12:.1f} TFLOP/s (direct-conv FLOPs)", flush=True)
+    if "fft" in which:
+        for name, xshape, cout in FFT_SHAPES:
+            cin = xshape[-1]
+            x = jnp.asarray(rs.rand(*xshape), DT)
+            w = jnp.asarray(rs.rand(3, 3, 3, cin, cout) * 0.01, DT)
+            flops = 2 * 27 * cin * cout * np.prod(xshape[:4])
+            for label, fn, args, n in [
+                ("as-2d fwd", conv3d_as_2d, (x, w), 10),
+                ("fft fwd", fft_conv3d, (x, w), 4),
+            ]:
+                dt = timeit(fn, args, n=n, label=f"{name} {label}")
+                print(f"   -> {flops/dt/1e12:.1f} TFLOP/s (direct-conv FLOPs)", flush=True)
 
 
 if __name__ == "__main__":
