@@ -157,3 +157,36 @@ def test_se_guard_is_identity_and_present():
     finally:
         se_mod._guard = orig
     np.testing.assert_array_equal(np.asarray(probs_guarded), np.asarray(probs_plain))
+
+
+def test_se_flat_and_blocked_squeeze_paths_agree():
+    """The two P3DUNET_SE squeeze formulations (flat: (N,S,C)-view reduction
+    + channel-dot sSE gate; blocked: spatial-axes mean + C=1 conv) must share
+    one parameter tree and compute the same function (BENCH_NOTES r5)."""
+    import os
+
+    import jax
+
+    cfg = {"name": "ResidualUNetSE3D", "in_channels": 1, "out_channels": 1,
+           "f_maps": 8, "num_groups": 4, "num_levels": 2, "final_sigmoid": True}
+    x = np.random.RandomState(3).rand(1, 8, 16, 16, 1).astype(np.float32)
+    model = get_model(cfg)
+    prev = os.environ.get("P3DUNET_SE")
+    try:
+        os.environ["P3DUNET_SE"] = "blocked"
+        v_blocked = model.init(jax.random.PRNGKey(0), patch_shape=(8, 16, 16))
+        p_blocked, _ = model.apply(v_blocked, x)
+        os.environ["P3DUNET_SE"] = "flat"
+        v_flat = model.init(jax.random.PRNGKey(0), patch_shape=(8, 16, 16))
+        assert (jax.tree_util.tree_structure(v_blocked)
+                == jax.tree_util.tree_structure(v_flat))
+        assert all(a.shape == b.shape for a, b in zip(
+            jax.tree_util.tree_leaves(v_blocked), jax.tree_util.tree_leaves(v_flat)))
+        p_flat, _ = model.apply(v_blocked, x)  # same params, flat compute path
+    finally:
+        if prev is None:
+            os.environ.pop("P3DUNET_SE", None)
+        else:
+            os.environ["P3DUNET_SE"] = prev
+    np.testing.assert_allclose(np.asarray(p_flat), np.asarray(p_blocked),
+                               atol=2e-6, rtol=0)
