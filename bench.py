@@ -85,6 +85,20 @@ FAMILY_PRESETS = {
         (256, 256),
         32,
     ),
+    # 3DUnet_denoising recipe (reference resources/3DUnet_denoising/
+    # train_config_regression.yaml): regression UNet3D, f_maps 16 x 5 levels,
+    # 128^3 patches, SmoothL1 — the last BASELINE config without a chip number
+    "denoise3d": (
+        {
+            "name": "UNet3D", "in_channels": 1, "out_channels": 1,
+            "f_maps": [16, 32, 64, 128, 256], "layer_order": "gcr",
+            "num_groups": 8, "final_sigmoid": False, "is_segmentation": False,
+            "dtype": "bfloat16",
+            "_loss": "SmoothL1Loss",
+        },
+        (128, 128, 128),
+        1,
+    ),
 }
 # train-step conv+matmul FLOPs per voxel, counted from the differentiated
 # jaxpr of the exact step each leg times (tools/familyflops.py). Family
@@ -97,6 +111,7 @@ FAMILY_MFLOP_PER_VOX = {
     "resunet3d": 1.893,
     "resunetse3d": 1.893,
     "unet2d": 0.554,
+    "denoise3d": 0.370,
 }
 # which single leg to run when set (raw measurement runs); the default main()
 # run measures the headline plus every family leg (P3DUNET_BENCH_FAMILIES)
@@ -129,7 +144,7 @@ COMPILER_OPTIONS = json.loads(os.environ.get("P3DUNET_BENCH_COMPILER_OPTIONS", "
 
 
 def build_train_step(model_cfg=None, patch=None, batch=None):
-    from pytorch3dunet_tpu.losses import BCEDiceLoss
+    from pytorch3dunet_tpu.losses import BCEDiceLoss, SmoothL1Loss
     from pytorch3dunet_tpu.models import get_model
     from pytorch3dunet_tpu.utils.optim import create_optimizer
 
@@ -150,8 +165,10 @@ def build_train_step(model_cfg=None, patch=None, batch=None):
     model_cfg = dict(model_cfg)
     lr = model_cfg.pop("_lr", 2e-4)
     clip = model_cfg.pop("_clip", None)
+    loss_name = model_cfg.pop("_loss", "BCEDiceLoss")
     model = get_model(model_cfg)
-    loss_criterion = BCEDiceLoss()
+    regression = loss_name == "SmoothL1Loss"
+    loss_criterion = SmoothL1Loss() if regression else BCEDiceLoss()
     opt_cfg = {"name": "Adam", "learning_rate": lr}
     if os.environ.get("P3DUNET_BENCH_ADAM_MU"):  # e.g. bfloat16
         opt_cfg["mu_dtype"] = os.environ["P3DUNET_BENCH_ADAM_MU"]
@@ -174,7 +191,10 @@ def build_train_step(model_cfg=None, patch=None, batch=None):
         # the host link (which is tunneled in this environment)
         kx, ky, kd = jax.random.split(rng, 3)
         x = jax.random.uniform(kx, (batch, *patch, 1), dtype=jnp.float32)
-        y = (jax.random.uniform(ky, (batch, *patch, 1)) > 0.5).astype(jnp.float32)
+        if regression:  # denoising target: continuous, like the recipe's
+            y = jax.random.uniform(ky, (batch, *patch, 1), dtype=jnp.float32)
+        else:
+            y = (jax.random.uniform(ky, (batch, *patch, 1)) > 0.5).astype(jnp.float32)
         aux_state = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(p):
@@ -378,7 +398,7 @@ def main():
     # throughput at their canonical recipe shapes. Each leg degrades
     # gracefully (omitted field) rather than failing the whole artifact.
     if os.environ.get("P3DUNET_BENCH_FAMILIES", "1") == "1":
-        for fam in ("resunet3d", "resunetse3d", "unet2d"):
+        for fam in ("resunet3d", "resunetse3d", "unet2d", "denoise3d"):
             cfg, patch, batch = FAMILY_PRESETS[fam]
             try:
                 fam_vps = measure_train(cfg, patch, batch)
