@@ -122,7 +122,13 @@ def test_sharded_fit_matches_single_device(tmpdir, monkeypatch):
     leaves8 = jax.tree_util.tree_leaves(results[8])
     assert len(leaves1) == len(leaves8)
     for a, b in zip(leaves1, leaves8):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+        # psum reassociates the batch-mean sum, and Adam's per-element
+        # normalization amplifies the fp32 epsilon through the two steps:
+        # observed worst-case drift in-suite is ~1.4e-5 on O(1e-2) params
+        # (grad equality itself is asserted bitwise-tight in the dryrun's DP
+        # leg); 1e-4 still catches any real reduction/sharding bug, which
+        # shows up as O(param)-scale divergence.
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
 
 def test_fit_with_spatial_sharding(tmpdir):
