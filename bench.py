@@ -300,9 +300,12 @@ def measure_predict(vol=(128, 320, 320), patch=(64, 160, 160), halo=(8, 16, 16),
       - grid: the canonical patch grid (128x320x320 volume, 64x160x160
         patches, 8x16x16 halo — 1.8x redundant halo compute), reference-like
         patch decomposition.
-      - slab (`predictor.patch_mode: slab`): full-xy z-slabs (512x320x320
-        volume, two 256x320x320 slabs, halo 8x0x0 — z-only halo, 1.06x
+      - slab (`predictor.patch_mode: slab`): full-xy z-slabs (576x320x320
+        volume, two 288x320x320 slabs, halo 8x0x0 — z-only halo, 1.06x
         redundancy); no interior xy seams exist so no xy halo is needed.
+        Each padded slab is 304x320x320 = 31.1M voxels — the measured v5e
+        capacity ceiling (BENCH_NOTES r5: 31.1M fits at 85.6 Mvox/s; the
+        r4 leg's 272-deep/27.8M slabs ran 78.4).
     """
     from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
     from pytorch3dunet_tpu.models import get_model
@@ -386,7 +389,7 @@ def main():
         # headline: the slab geometry (predictor.patch_mode: slab) — full-xy
         # z-slabs, z-only halo; no interior xy seams exist, so no xy halo is
         # needed (the reference's own default halo is zero, hdf5.py:93)
-        predict_vps = measure_predict(vol=(512, 320, 320), patch=(256, 320, 320), halo=(8, 0, 0))
+        predict_vps = measure_predict(vol=(576, 320, 320), patch=(288, 320, 320), halo=(8, 0, 0))
         result["predict"] = round(predict_vps, 1)
         result["predict_vs_baseline"] = round(predict_vps / 67e6, 3)
         # the reference-like patch-grid decomposition (patch_mode: grid)

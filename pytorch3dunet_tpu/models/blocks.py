@@ -19,6 +19,7 @@ Design differences from the reference (deliberate, TPU-first):
 from collections.abc import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pytorch3dunet_tpu.models.se import ChannelSELayer3D, ChannelSpatialSELayer3D, SpatialSELayer3D
@@ -394,26 +395,51 @@ class _AffineParams(nn.Module):
         )
 
 
+class _BatchNormState(nn.Module):
+    """Parameter/variable holder matching flax BatchNorm's scope layout
+    ('scale'/'bias' params, 'mean'/'var' in 'batch_stats') so fused and
+    generic decoders share checkpoints."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.channels,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.channels,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.channels,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
 class FusedUpConcatConv1(nn.Module):
     """SingleConv over concat([skip, nearest_up2x(xs)]) computed fused
-    (ops/upconv.py): per-branch GroupNorm stats, channel-split conv, phase
+    (ops/upconv.py): per-branch norm stats, channel-split conv, phase
     convs on the half-res branch. Parameter scopes are identical to the
-    generic SingleConv ('groupnorm', 'conv'), so checkpoints are
+    generic SingleConv ('groupnorm'/'batchnorm', 'conv'), so checkpoints are
     interchangeable and torch interop is unaffected.
 
-    Supports orders over {g, c, r, l, e} whose pre-conv part is '' or 'g'
-    (the flagship 'gcr' included); Decoder falls back to the generic path
-    otherwise.
+    Supports rank 3 and rank 2, orders over {g, b, c, r, l, e} whose
+    pre-conv part is '', 'g', or 'b' (the flagship 'gcr' and the dsb2018
+    2D 'bcr' included); Decoder falls back to the generic path otherwise.
+    The BatchNorm fold reproduces flax BatchNorm exactly: fast-variance
+    fp32 batch stats in training (per-branch, exact — nearest replication
+    preserves per-channel moments), running stats in eval, momentum-0.9
+    running updates outside initialization.
     """
 
     out_channels: int
     order: str = "gcr"
     num_groups: int = 8
+    spatial_rank: int = 3
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, skip, xs):
-        from pytorch3dunet_tpu.ops.upconv import fused_up_concat_conv
+    def __call__(self, skip, xs, train: bool = False):
+        from pytorch3dunet_tpu.ops.upconv import (
+            concat_batch_stats,
+            fused_up_concat_conv,
+            fused_up_concat_conv_2d,
+        )
 
         in_channels = skip.shape[-1] + xs.shape[-1]
         ci = self.order.index("c")
@@ -421,18 +447,28 @@ class FusedUpConcatConv1(nn.Module):
         use_bias = not ("g" in self.order or "b" in self.order)
 
         kernel, conv_bias = _ConvParams(
-            (3, 3, 3, in_channels, self.out_channels), use_bias, name="conv"
+            (3,) * self.spatial_rank + (in_channels, self.out_channels), use_bias, name="conv"
         )()
-        gn_kwargs = {}
+        norm_kwargs = {}
         if pre == "g":
             ng = self.num_groups if in_channels >= self.num_groups else 1
             assert in_channels % ng == 0
             scale, bias = _AffineParams(in_channels, name="groupnorm")()
-            gn_kwargs = dict(num_groups=ng, gn_scale=scale, gn_bias=bias)
+            norm_kwargs = dict(num_groups=ng, gn_scale=scale, gn_bias=bias)
+        elif pre == "b":
+            scale, bias, ra_mean, ra_var = _BatchNormState(in_channels, name="batchnorm")()
+            if train:
+                mean_c, var_c = concat_batch_stats(skip, xs)
+                if not self.is_initializing():
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean_c
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * var_c
+            else:
+                mean_c, var_c = ra_mean.value, ra_var.value
+            a_c = jax.lax.rsqrt(var_c + 1e-5) * scale
+            norm_kwargs = dict(affine=(a_c, bias - mean_c * a_c))
 
-        x = fused_up_concat_conv(
-            skip, xs, kernel, conv_bias=conv_bias, dtype=self.dtype, **gn_kwargs
-        )
+        fused = fused_up_concat_conv if self.spatial_rank == 3 else fused_up_concat_conv_2d
+        x = fused(skip, xs, kernel, conv_bias=conv_bias, dtype=self.dtype, **norm_kwargs)
 
         post = self.order[ci + 1 :]
         skip_next = False
@@ -447,6 +483,15 @@ class FusedUpConcatConv1(nn.Module):
                 act = {"r": "relu", "l": "leaky01", "e": "elu"}.get(nxt, "none")
                 skip_next = act != "none"
                 x = group_norm(x, self.out_channels, self.num_groups, name="groupnorm", act=act)
+            elif char == "b":
+                bn = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=jnp.float32,
+                    name="batchnorm",
+                )
+                x = bn(x.astype(jnp.float32)).astype(x.dtype)
             else:
                 raise ValueError(f"unsupported post-conv op '{char}' in fused decoder")
         return x
@@ -460,6 +505,7 @@ class FusedDecoderDoubleConv(nn.Module):
     order: str = "gcr"
     num_groups: int = 8
     dropout_prob: float | tuple = 0.1
+    spatial_rank: int = 3
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -472,9 +518,10 @@ class FusedDecoderDoubleConv(nn.Module):
             self.out_channels,
             order=self.order,
             num_groups=self.num_groups,
+            spatial_rank=self.spatial_rank,
             dtype=self.dtype,
             name="SingleConv1",
-        )(skip, xs)
+        )(skip, xs, train=train)
         x = SingleConv(
             self.out_channels,
             kernel_size=3,
@@ -482,7 +529,7 @@ class FusedDecoderDoubleConv(nn.Module):
             num_groups=self.num_groups,
             padding=1,
             dropout_prob=dropout2,
-            spatial_rank=3,
+            spatial_rank=self.spatial_rank,
             dtype=self.dtype,
             name="SingleConv2",
         )(x, train=train)
@@ -596,30 +643,32 @@ class Decoder(nn.Module):
     def _fused_path_ok(self, encoder_features, x, packed) -> "str | bool":
         """Returns 'full' / 'mixed' (which fused upsample+concat+conv1 variant
         applies, ops/upconv.py) or False. The fused path covers the flagship
-        decoder shape: nearest 2x (exact per-dim), concat joining,
-        DoubleConv with a {''|'g'}-prefix conv order, rank 3, unpacked,
-        no spatial model parallelism, 3^3 kernel with 'same' padding."""
+        decoder shapes: nearest 2x (exact per-dim), concat joining,
+        DoubleConv with a {''|'g'|'b'}-prefix conv order, rank 3 or rank 2,
+        unpacked, no spatial model parallelism, 3^rank kernel with 'same'
+        padding."""
         if _os.environ.get("P3DUNET_FUSED_DECODER", "1") != "1":
             return False
-        if packed or self.spatial_rank != 3:
+        rank = self.spatial_rank
+        if packed or rank not in (2, 3):
             return False
         if not (self.concat and self.upsample_mode == "nearest" and self.basic_module == "DoubleConv"):
             return False
-        if _to_tuple(self.conv_kernel_size, 3) != (3, 3, 3) or _to_tuple(self.padding, 3) != (1, 1, 1):
+        if _to_tuple(self.conv_kernel_size, rank) != (3,) * rank or _to_tuple(self.padding, rank) != (1,) * rank:
             return False
-        # depth must be exactly 2x (it phase-folds); irregular H/W (nearest-
-        # resized on the half-depth tensor, depth-only phase fold) measured
-        # slightly SLOWER than the generic path on v5e (23.59 vs 23.93
-        # Mvox/s) and stays opt-in
+        # the leading axis must be exactly 2x (it phase-folds); irregular
+        # trailing axes (nearest-resized on the half-depth tensor, depth-only
+        # phase fold) measured slightly SLOWER than the generic path on v5e
+        # (23.59 vs 23.93 Mvox/s) and stay opt-in (rank 3 only)
         if encoder_features.shape[1] != 2 * x.shape[1]:
             return False
         hw_exact = encoder_features.shape[2:-1] == tuple(2 * s for s in x.shape[2:-1])
-        if not hw_exact and _os.environ.get("P3DUNET_FUSED_DECODER_MIXED", "0") != "1":
+        if not hw_exact and (rank == 2 or _os.environ.get("P3DUNET_FUSED_DECODER_MIXED", "0") != "1"):
             return False
         order = self.conv_layer_order
-        if "c" not in order or order[: order.index("c")] not in ("", "g"):
+        if "c" not in order or order[: order.index("c")] not in ("", "g", "b"):
             return False
-        if any(ch not in "gcrle" for ch in order):
+        if any(ch not in "gbcrle" for ch in order):
             return False
         from pytorch3dunet_tpu.parallel.spatial import active_spatial_axis
 
@@ -642,6 +691,7 @@ class Decoder(nn.Module):
                 order=self.conv_layer_order,
                 num_groups=self.num_groups,
                 dropout_prob=self.dropout_prob,
+                spatial_rank=self.spatial_rank,
                 dtype=self.dtype,
                 name="basic_module",
             )(encoder_features, x, train=train)

@@ -261,22 +261,26 @@ def concat_group_stats(skip, xs, num_groups, eps=1e-5, factor=8.0):
     inv_std_c_group) broadcast back to each channel: shapes (N, C).
 
     Exact: each xs voxel appears `factor` times in the upsampled tensor
-    (8 for a 2x nearest upsample in all three dims, 2 when only the depth
-    axis is phase-folded), so its per-channel sums scale by `factor`.
+    (8 for a 2x nearest upsample in all three dims, 4 for the rank-2 case,
+    2 when only the depth axis is phase-folded), so its per-channel sums
+    scale by `factor`. Rank-agnostic: skip is (N, *spatial, Cs).
     """
-    N, D, H, W, Cs = skip.shape
+    N, Cs = skip.shape[0], skip.shape[-1]
     Cu = xs.shape[-1]
     C = Cs + Cu
     assert C % num_groups == 0
     gs = C // num_groups
-    V = D * H * W
+    V = 1
+    for s in skip.shape[1:-1]:
+        V *= s
+    red = tuple(range(1, skip.ndim - 1))
 
     s32 = skip.astype(jnp.float32)
     x32 = xs.astype(jnp.float32)
-    sum_s = s32.sum(axis=(1, 2, 3))
-    sumsq_s = (s32 * s32).sum(axis=(1, 2, 3))
-    sum_u = factor * x32.sum(axis=(1, 2, 3))
-    sumsq_u = factor * (x32 * x32).sum(axis=(1, 2, 3))
+    sum_s = s32.sum(axis=red)
+    sumsq_s = (s32 * s32).sum(axis=red)
+    sum_u = factor * x32.sum(axis=red)
+    sumsq_u = factor * (x32 * x32).sum(axis=red)
 
     sums = jnp.concatenate([sum_s, sum_u], axis=-1).reshape(N, num_groups, gs).sum(-1)
     sumsqs = jnp.concatenate([sumsq_s, sumsq_u], axis=-1).reshape(N, num_groups, gs).sum(-1)
@@ -289,6 +293,151 @@ def concat_group_stats(skip, xs, num_groups, eps=1e-5, factor=8.0):
     return mean_c, inv_c
 
 
+def concat_batch_stats(skip, xs):
+    """BatchNorm statistics (per-channel over batch+spatial, flax's
+    fast-variance form: var = max(0, E[x^2] - E[x]^2) in fp32) of
+    concat([skip, nearest_up(xs)], -1), computed per-branch.
+
+    Exact for ANY nearest upsample factor: replication leaves per-channel
+    MEANS unchanged (mean(up(x)) == mean(x), ditto E[x^2]), and BatchNorm
+    channels never mix. Rank-agnostic. Returns (mean, var), shapes (C,).
+    """
+    s32 = skip.astype(jnp.float32)
+    x32 = xs.astype(jnp.float32)
+    ax_s = tuple(range(s32.ndim - 1))
+    ax_x = tuple(range(x32.ndim - 1))
+    mean = jnp.concatenate([s32.mean(ax_s), x32.mean(ax_x)])
+    mean2 = jnp.concatenate([(s32 * s32).mean(ax_s), (x32 * x32).mean(ax_x)])
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    return mean, var
+
+
+def _apply_norm_affine(skip, xs, affine, dtype):
+    """Per-channel affine fold (a_c, b_c) applied to both branches BEFORE the
+    channel-split conv: y = x * a_c + b_c. a_c/b_c have shape (C,) (BatchNorm)
+    or (N, C) (per-sample GroupNorm); applied in fp32 (see fused_up_concat_conv
+    for the opt-in compute-dtype variant's rationale)."""
+    Cs = skip.shape[-1]
+    a_c, b_c = affine
+    a_c = jnp.asarray(a_c, jnp.float32)
+    b_c = jnp.asarray(b_c, jnp.float32)
+    if a_c.ndim == 1:
+        a_c, b_c = a_c[None, :], b_c[None, :]
+    bshape = (a_c.shape[0],) + (1,) * (skip.ndim - 2) + (-1,)
+    if dtype is not None and dtype != jnp.float32 and os.environ.get("P3DUNET_GN_APPLY", "f32") == "compute":
+        a_c, b_c = a_c.astype(dtype), b_c.astype(dtype)
+        skip = skip.astype(dtype) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
+        xs = xs.astype(dtype) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
+    else:
+        skip = skip.astype(jnp.float32) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
+        xs = xs.astype(jnp.float32) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
+    return skip, xs
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 (UNet2D) fused decoder machinery: the same phase-collapse identity
+# with 4 phases (a, b) in {0,1}^2. Motivation (v5e trace, BENCH_NOTES r5
+# UNet2D decomposition): the unfused 2D decoder joins cost ~11% of the train
+# step — nearest-up broadcasts 5.8 ms + concat-backward split 1.6 ms.
+# ---------------------------------------------------------------------------
+
+
+def collapse_phase_kernels_2d(kernel):
+    """(3,3,Ci,Co) -> list of 4 phase kernels (2,2,Ci,Co), phase order (a,b)
+    with b fastest; phase (a,b) computes output pixels at (2i+a, 2j+b) of
+    conv3x3(upsample2x(x), pad=1) — the rank-2 `collapse_phase_kernels`."""
+
+    def collapse(w, axis):
+        w0, w1, w2 = (jax.lax.index_in_dim(w, t, axis, keepdims=True) for t in range(3))
+        return (
+            jnp.concatenate([w0, w1 + w2], axis=axis),
+            jnp.concatenate([w0 + w1, w2], axis=axis),
+        )
+
+    out = []
+    for wa in collapse(kernel, 0):
+        out.extend(collapse(wa, 1))
+    return out
+
+
+def embed_wide_kernel_2d(kernel):
+    """(3,3,Ci,Co) -> (3,3,Ci,4*Co): per-phase collapsed 2x2 kernels
+    zero-embedded at offsets [a:a+2, b:b+2]; one VALID 3x3 conv over the
+    padded half-res plane produces every upsample phase at once."""
+    ks = collapse_phase_kernels_2d(kernel)
+    blocks = []
+    for i, (a, b) in enumerate((a, b) for a in (0, 1) for b in (0, 1)):
+        blocks.append(jnp.pad(ks[i], ((a, 1 - a), (b, 1 - b), (0, 0), (0, 0))))
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def space_interleave_2d(out, F):
+    """(N, h, w, 4F) channel-blocked phases (a,b | b fastest) ->
+    (N, 2h, 2w, F) interleaved full-res."""
+    N, h, w, _ = out.shape
+    out = out.reshape(N, h, w, 2, 2, F)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(N, 2 * h, 2 * w, F)
+
+
+def phase_conv_upsampled_2d(xs, kernel):
+    """conv3x3(nearest_upsample_2x(xs), padding=1) without materializing the
+    upsampled tensor: (N, h, w, Ci) x (3, 3, Ci, Co) -> (N, 2h, 2w, Co)."""
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return space_interleave_2d(_conv2d_valid(xp, embed_wide_kernel_2d(kernel)), kernel.shape[-1])
+
+
+def fused_up_concat_conv_2d(
+    skip,
+    xs,
+    kernel,
+    *,
+    num_groups=None,
+    gn_scale=None,
+    gn_bias=None,
+    affine=None,
+    conv_bias=None,
+    dtype=None,
+    eps=1e-5,
+):
+    """Rank-2 `fused_up_concat_conv`: [optional norm] + conv3x3(pad=1) over
+    concat([skip, up2x(xs)], -1) with no upsampled/concat tensor.
+
+    skip: (N, 2h, 2w, Cs); xs: (N, h, w, Cu); kernel: (3, 3, Cs+Cu, Co).
+    Norm is either GroupNorm (num_groups/gn_scale/gn_bias — per-branch stats
+    with replication factor 4) or a precomputed per-channel `affine` (a_c,
+    b_c) of shape (C,) — the BatchNorm fold computed by the caller
+    (models/blocks.FusedUpConcatConv1, which owns the running-stat update).
+    """
+    Cs = skip.shape[-1]
+    assert skip.shape[1:3] == tuple(2 * s for s in xs.shape[1:3])
+    if num_groups is not None:
+        mean_c, inv_c = concat_group_stats(skip, xs, num_groups, eps, factor=4.0)
+        a_c = inv_c * gn_scale[None, :]
+        affine = (a_c, gn_bias[None, :] - mean_c * a_c)
+    if affine is not None:
+        skip, xs = _apply_norm_affine(skip, xs, affine, dtype)
+
+    if dtype is not None:
+        skip = skip.astype(dtype)
+        xs = xs.astype(dtype)
+        kernel = kernel.astype(dtype)
+    else:
+        kernel = kernel.astype(skip.dtype)
+        xs = xs.astype(skip.dtype)
+
+    out = jax.lax.conv_general_dilated(
+        skip,
+        kernel[:, :, :Cs, :],
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out + phase_conv_upsampled_2d(xs, kernel[:, :, Cs:, :])
+    if conv_bias is not None:
+        out = out + conv_bias.astype(out.dtype)
+    return out
+
+
 def fused_up_concat_conv(
     skip,
     xs,
@@ -297,6 +446,7 @@ def fused_up_concat_conv(
     num_groups=None,
     gn_scale=None,
     gn_bias=None,
+    affine=None,
     conv_bias=None,
     dtype=None,
     eps=1e-5,
@@ -309,11 +459,16 @@ def fused_up_concat_conv(
     xs already nearest-resized in H/W, only the depth axis phase-folds].
     kernel: (3, 3, 3, Cs+Cu, Co) — the SAME parameter a plain concat conv uses.
     When num_groups is given, gn_scale/gn_bias are the (Cs+Cu,) GroupNorm
-    affine params applied BEFORE the conv (layer_order 'gc...').
+    affine params applied BEFORE the conv (layer_order 'gc...'); `affine`
+    is instead a precomputed per-channel (a_c, b_c) fold of shape (C,) — the
+    BatchNorm case ('bc...', stats owned by the caller). The fp32 apply is
+    the default; P3DUNET_GN_APPLY=compute normalizes in the compute dtype
+    from the ORIGINAL tensors (an fp32 apply shares the .astype(f32) with
+    the stats sums and XLA materializes a full-volume fp32 copy — measured
+    neutral e2e on v5e, latency-hidden, so lower-rounding f32 stays default).
     Returns conv output at skip's resolution.
     """
     Cs = skip.shape[-1]
-    N = skip.shape[0]
     depth_only = skip.shape[2] == xs.shape[2]
     assert skip.shape[1] == 2 * xs.shape[1]
     factor = 2.0 if depth_only else 8.0
@@ -321,19 +476,9 @@ def fused_up_concat_conv(
     if num_groups is not None:
         mean_c, inv_c = concat_group_stats(skip, xs, num_groups, eps, factor=factor)
         a_c = inv_c * gn_scale[None, :]
-        b_c = gn_bias[None, :] - mean_c * a_c
-        bshape = (N, 1, 1, 1, -1)
-        if dtype is not None and dtype != jnp.float32 and os.environ.get("P3DUNET_GN_APPLY", "f32") == "compute":
-            # normalize in the compute dtype from the ORIGINAL tensors: an
-            # fp32 apply shares the .astype(f32) with the stats sums and XLA
-            # materializes a full-volume fp32 copy. Measured neutral e2e on
-            # v5e (latency-hidden) -> opt-in, f32 apply keeps lower rounding.
-            a_c, b_c = a_c.astype(dtype), b_c.astype(dtype)
-            skip = skip.astype(dtype) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
-            xs = xs.astype(dtype) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
-        else:
-            skip = skip.astype(jnp.float32) * a_c[:, :Cs].reshape(bshape) + b_c[:, :Cs].reshape(bshape)
-            xs = xs.astype(jnp.float32) * a_c[:, Cs:].reshape(bshape) + b_c[:, Cs:].reshape(bshape)
+        affine = (a_c, gn_bias[None, :] - mean_c * a_c)
+    if affine is not None:
+        skip, xs = _apply_norm_affine(skip, xs, affine, dtype)
 
     if dtype is not None:
         skip = skip.astype(dtype)

@@ -418,10 +418,10 @@ class DeviceSlidingWindowPredictor(StandardPredictor):
             false to restore inline saves on memory-constrained hosts.
         max_patch_voxels: padded-voxel budget for one slab forward in
             'slab' mode. The default 2**24 is conservative for f_maps=32
-            bf16 on a 16 GB v5e; measured there: a 27.8M-voxel slab
-            (272x320x320) fits and is the fastest geometry (76.9 Mvox/s),
-            32.8M (320^3) OOMs (BENCH_NOTES r4) — raise toward ~2.7e7 for
-            maximum throughput, lower for wider models.
+            bf16 on a 16 GB v5e; measured there: a 31.1M-voxel slab
+            (304x320x320) fits and is the fastest geometry (85.6 Mvox/s),
+            32.8M (320^3) alloc-thrashes (BENCH_NOTES r4/r5) — raise toward
+            ~3.1e7 for maximum throughput, lower for wider models.
     """
 
     def __init__(self, *args, blend="assign", shard=True, max_device_voxels=int(1e9), patch_batch=None,

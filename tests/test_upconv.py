@@ -174,6 +174,144 @@ def test_decoder_fused_fallback_on_non_2x_depth():
     assert "SingleConv1" in v["params"]["basic_module"]
 
 
+def _upsample2_2d(x):
+    n, h, w, c = x.shape
+    return jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c)).reshape(
+        n, 2 * h, 2 * w, c
+    )
+
+
+def _conv2d_same(x, W):
+    return jax.lax.conv_general_dilated(
+        x, W, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def test_phase_conv_2d_matches_upsample_conv():
+    from pytorch3dunet_tpu.ops.upconv import phase_conv_upsampled_2d
+
+    k = jax.random.PRNGKey(2)
+    xs = jax.random.normal(jax.random.fold_in(k, 1), (2, 5, 4, 6))
+    W = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, 6, 7))
+    ref = _conv2d_same(_upsample2_2d(xs), W)
+    got = phase_conv_upsampled_2d(xs, W)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_up_concat_conv_2d_with_groupnorm():
+    import flax.linen as nn
+
+    from pytorch3dunet_tpu.ops.upconv import fused_up_concat_conv_2d
+
+    k = jax.random.PRNGKey(4)
+    xs = jax.random.normal(jax.random.fold_in(k, 1), (2, 4, 5, 6))
+    skip = jax.random.normal(jax.random.fold_in(k, 2), (2, 8, 10, 2))
+    W = jax.random.normal(jax.random.fold_in(k, 3), (3, 3, 8, 5))
+    scale = jax.random.normal(jax.random.fold_in(k, 4), (8,)) + 1.0
+    bias = jax.random.normal(jax.random.fold_in(k, 5), (8,)) * 0.1
+
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=jnp.float32)
+
+    def ref_fn(W_, s_, x_):
+        cat = jnp.concatenate([s_, _upsample2_2d(x_)], -1)
+        return _conv2d_same(gn.apply({"params": {"scale": scale, "bias": bias}}, cat), W_)
+
+    def got_fn(W_, s_, x_):
+        return fused_up_concat_conv_2d(s_, x_, W_, num_groups=4, gn_scale=scale, gn_bias=bias)
+
+    np.testing.assert_allclose(got_fn(W, skip, xs), ref_fn(W, skip, xs), atol=2e-4)
+    g_ref = jax.grad(lambda *a: (ref_fn(*a) ** 2).sum(), (0, 1, 2))(W, skip, xs)
+    g_got = jax.grad(lambda *a: (got_fn(*a) ** 2).sum(), (0, 1, 2))(W, skip, xs)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(b, a, atol=2e-3 * max(1.0, float(jnp.abs(a).max())))
+
+
+@pytest.mark.parametrize("rank,order", [(2, "bcr"), (2, "gcr"), (2, "cr"), (3, "bcr"), (3, "cbr")])
+def test_decoder_fused_norm_variants_match_generic(rank, order, monkeypatch):
+    """Fused decoder == generic decoder for rank-2 joins and BatchNorm-prefix
+    orders (the dsb2018 2D 'bcr' shape): eval forward, train forward, the
+    running-stat updates, and gradients, on an identical variable tree."""
+    dec = Decoder(out_channels=8, conv_layer_order=order, num_groups=4, spatial_rank=rank)
+    k = jax.random.PRNGKey(17)
+    if rank == 2:
+        skip = jax.random.normal(jax.random.fold_in(k, 1), (2, 8, 10, 4))
+        x = jax.random.normal(jax.random.fold_in(k, 2), (2, 4, 5, 8))
+    else:
+        skip = jax.random.normal(jax.random.fold_in(k, 1), (1, 8, 6, 10, 4))
+        x = jax.random.normal(jax.random.fold_in(k, 2), (1, 4, 3, 5, 8))
+
+    monkeypatch.setenv("P3DUNET_FUSED_DECODER", "1")
+    v1 = dec.init(jax.random.PRNGKey(0), skip, x)
+    monkeypatch.setenv("P3DUNET_FUSED_DECODER", "0")
+    v0 = dec.init(jax.random.PRNGKey(0), skip, x)
+
+    # identical variable trees (params AND batch_stats) -> checkpoint compatible
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mutable = ["batch_stats"] if "b" in order else []
+    for fused in ("1", "0"):
+        monkeypatch.setenv("P3DUNET_FUSED_DECODER", fused)
+        out_eval = dec.apply(v0, skip, x)
+        out_train, new_state = dec.apply(v0, skip, x, train=True, mutable=mutable)
+        grads = jax.grad(
+            lambda p: (dec.apply({**v0, "params": p}, skip, x, train=True, mutable=mutable)[0] ** 2).sum()
+        )(v0["params"])
+        if fused == "1":
+            ref = (out_eval, out_train, new_state, grads)
+        else:
+            np.testing.assert_allclose(ref[0], out_eval, atol=2e-4)
+            np.testing.assert_allclose(ref[1], out_train, atol=2e-4)
+            for a, b in zip(jax.tree_util.tree_leaves(ref[2]), jax.tree_util.tree_leaves(new_state)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(ref[3]), jax.tree_util.tree_leaves(grads)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-3 * max(1.0, float(np.abs(b).max()))
+                )
+
+
+def test_unet2d_bcr_fused_matches_generic(monkeypatch):
+    """Whole-model UNet2D 'bcr' (the dsb2018 recipe shape): fused-decoder
+    train step == generic, including the mutated batch_stats."""
+    from pytorch3dunet_tpu.models import get_model
+
+    cfg = {
+        "name": "UNet2D",
+        "in_channels": 1,
+        "out_channels": 1,
+        "f_maps": [8, 16, 32],
+        "layer_order": "bcr",
+        "final_sigmoid": True,
+    }
+    model = get_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 32, 1))
+
+    monkeypatch.setenv("P3DUNET_FUSED_DECODER", "1")
+    v1 = model.init(jax.random.PRNGKey(0), patch_shape=(32, 32))
+    monkeypatch.setenv("P3DUNET_FUSED_DECODER", "0")
+    v0 = model.init(jax.random.PRNGKey(0), patch_shape=(32, 32))
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+
+    outs = {}
+    for fused in ("1", "0"):
+        monkeypatch.setenv("P3DUNET_FUSED_DECODER", fused)
+        (probs, logits), state = model.apply(v0, x, train=True, mutable=["batch_stats"])
+        grads = jax.grad(
+            lambda p: (
+                model.apply({**v0, "params": p}, x, train=True, mutable=["batch_stats"])[0][1] ** 2
+            ).sum()
+        )(v0["params"])
+        outs[fused] = (logits, state, grads)
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0], atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["1"][1]), jax.tree_util.tree_leaves(outs["0"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["1"][2]), jax.tree_util.tree_leaves(outs["0"][2])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3 * max(1.0, float(np.abs(b).max()))
+        )
+
+
 def test_phase_conv_transpose_matches_lax():
     """phase_conv_transpose == lax.conv_transpose(k=3, s=2, padding (1,1)) —
     values AND output size (2n-1), forward and gradients."""
