@@ -300,12 +300,16 @@ def measure_predict(vol=(128, 320, 320), patch=(64, 160, 160), halo=(8, 16, 16),
       - grid: the canonical patch grid (128x320x320 volume, 64x160x160
         patches, 8x16x16 halo — 1.8x redundant halo compute), reference-like
         patch decomposition.
-      - slab (`predictor.patch_mode: slab`): full-xy z-slabs (576x320x320
-        volume, two 288x320x320 slabs, halo 8x0x0 — z-only halo, 1.06x
+      - slab (`predictor.patch_mode: slab`): full-xy z-slabs (512x320x320
+        volume, two 256x320x320 slabs, halo 8x0x0 — z-only halo, 1.06x
         redundancy); no interior xy seams exist so no xy halo is needed.
-        Each padded slab is 304x320x320 = 31.1M voxels — the measured v5e
-        capacity ceiling (BENCH_NOTES r5: 31.1M fits at 85.6 Mvox/s; the
-        r4 leg's 272-deep/27.8M slabs ran 78.4).
+        NOTE the deeper 288-slab leg (padded 304x320x320 = 31.1M, the
+        probe-level capacity result) OOMs the compile inside THIS harness
+        (22.16G estimated vs 15.75G hbm): the sweep scan holds the full
+        padded volume + output + weight accumulators resident alongside the
+        slab forward, which the single-resident-slab capacity probe did not
+        (BENCH_NOTES r5 capacity addendum) — so the shipping leg stays at
+        the 272-padded/27.8M geometry that measures 78.4 Mvox/s here.
     """
     from pytorch3dunet_tpu.inference_device import DeviceSlidingWindow
     from pytorch3dunet_tpu.models import get_model
@@ -388,14 +392,21 @@ def main():
     if os.environ.get("P3DUNET_BENCH_PREDICT", "1") == "1":
         # headline: the slab geometry (predictor.patch_mode: slab) — full-xy
         # z-slabs, z-only halo; no interior xy seams exist, so no xy halo is
-        # needed (the reference's own default halo is zero, hdf5.py:93)
-        predict_vps = measure_predict(vol=(576, 320, 320), patch=(288, 320, 320), halo=(8, 0, 0))
-        result["predict"] = round(predict_vps, 1)
-        result["predict_vs_baseline"] = round(predict_vps / 67e6, 3)
-        # the reference-like patch-grid decomposition (patch_mode: grid)
-        grid_vps = measure_predict()
-        result["predict_grid"] = round(grid_vps, 1)
-        result["predict_grid_vs_baseline"] = round(grid_vps / 67e6, 3)
+        # needed (the reference's own default halo is zero, hdf5.py:93).
+        # Each leg degrades gracefully (omitted field) rather than failing
+        # the whole artifact.
+        import sys
+
+        for name, kwargs in (
+            ("predict", dict(vol=(512, 320, 320), patch=(256, 320, 320), halo=(8, 0, 0))),
+            ("predict_grid", {}),
+        ):
+            try:
+                vps = measure_predict(**kwargs)
+                result[name] = round(vps, 1)
+                result[f"{name}_vs_baseline"] = round(vps / 67e6, 3)
+            except Exception as e:  # noqa: BLE001 — a leg must not sink the artifact
+                print(f"predict leg {name} failed: {e}", file=sys.stderr)
     # model-family train legs (r4 verdict #1): every earlier TPU number was
     # UNet3D-only; record ResidualUNet3D / ResidualUNetSE3D / UNet2D-train
     # throughput at their canonical recipe shapes. Each leg degrades

@@ -131,6 +131,40 @@ def group_norm(x, num_channels: int, num_groups: int, name: str, act: str = "non
     return out
 
 
+class DenseBatchNorm(nn.Module):
+    """BatchNorm with flax-exact statistics and running-average updates but a
+    compute-dtype apply: the flax path upcasts the whole activation to fp32
+    (stats and the normalized output share the .astype(f32)), materializing a
+    full-volume fp32 copy per norm in bf16 models. Here the fp32 stats
+    reductions consume the bf16 tensor directly (the convert fuses into the
+    reduce) and the normalization is a per-channel affine in the compute
+    dtype. Scope-compatible with nn.BatchNorm ('scale'/'bias' params,
+    'mean'/'var' in batch_stats). Opt-in via P3DUNET_DENSE_BN=1."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            x32 = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            mean = x32.mean(red)
+            var = jnp.maximum((x32 * x32).mean(red) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        a = jax.lax.rsqrt(var + 1e-5) * scale
+        b = bias - mean * a
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
+
+
 class SingleConv(nn.Module):
     """One conv unit assembled from the `order` DSL string.
 
@@ -185,17 +219,21 @@ class SingleConv(nn.Module):
                 skip_next = act != "none"
                 x = group_norm(x, num_channels, self.num_groups, name="groupnorm", act=act)
             elif char == "b":
-                bn = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    dtype=jnp.float32,
-                    name="batchnorm",
-                )
-                if isinstance(x, PackedArray):
-                    x = pack(bn(unpack(x).astype(jnp.float32)).astype(x.dtype))
+                num_channels = in_channels if i < conv_index else self.out_channels
+                if not isinstance(x, PackedArray) and _os.environ.get("P3DUNET_DENSE_BN", "0") == "1":
+                    x = DenseBatchNorm(num_channels, name="batchnorm")(x, train=train)
                 else:
-                    x = bn(x.astype(jnp.float32)).astype(x.dtype)
+                    bn = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=0.9,
+                        epsilon=1e-5,
+                        dtype=jnp.float32,
+                        name="batchnorm",
+                    )
+                    if isinstance(x, PackedArray):
+                        x = pack(bn(unpack(x).astype(jnp.float32)).astype(x.dtype))
+                    else:
+                        x = bn(x.astype(jnp.float32)).astype(x.dtype)
             elif char == "d":
                 drop = nn.Dropout(rate=self.dropout_prob, deterministic=not train, name=f"dropout{i}")
                 if isinstance(x, PackedArray):

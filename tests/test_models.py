@@ -190,3 +190,35 @@ def test_se_flat_and_blocked_squeeze_paths_agree():
             os.environ["P3DUNET_SE"] = prev
     np.testing.assert_allclose(np.asarray(p_flat), np.asarray(p_blocked),
                                atol=2e-6, rtol=0)
+
+
+def test_dense_batchnorm_matches_flax(monkeypatch):
+    """P3DUNET_DENSE_BN=1 (compute-dtype apply) == the flax BatchNorm path in
+    fp32: train/eval outputs, running-stat updates, grads, same variable tree."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch3dunet_tpu.models.blocks import SingleConv
+
+    m = SingleConv(8, order="bcr", spatial_rank=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+
+    monkeypatch.setenv("P3DUNET_DENSE_BN", "1")
+    v1 = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("P3DUNET_DENSE_BN", "0")
+    v0 = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+
+    outs = {}
+    for dense in ("1", "0"):
+        monkeypatch.setenv("P3DUNET_DENSE_BN", dense)
+        out_eval = m.apply(v0, x)
+        out_train, state = m.apply(v0, x, train=True, mutable=["batch_stats"])
+        grads = jax.grad(
+            lambda p: (m.apply({**v0, "params": p}, x, train=True, mutable=["batch_stats"])[0] ** 2).sum()
+        )(v0["params"])
+        outs[dense] = (out_eval, out_train, state, grads)
+    # the folded affine (a*x + b) reassociates the flax elementwise chain:
+    # bit-level differences are ~1e-6 relative in fp32
+    for a, b in zip(jax.tree_util.tree_leaves(outs["1"]), jax.tree_util.tree_leaves(outs["0"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
